@@ -1,0 +1,137 @@
+"""Dense Cholesky of the Schur complement with robustness semantics.
+
+Reference analog: blkchol.c / blkchol2.c — a supernodal LDL' that *never
+fails*: cancellation triggers a diagonal add, instability a pivot skip, and
+the (possibly inexact) factor is then used as a PCG preconditioner
+(wrapPcg.m).  For the dense bucketed path (all six bundled examples have
+m <= 948) the TPU-native equivalent is:
+
+* ``chol_factor`` — XLA's blocked dense Cholesky on M + reg*diag-scale.
+  ``reg`` is a *traced* scalar so the host driver can escalate
+  regularization on a failed iterate without recompiling.
+* ``ldl_masked`` — an LDL' with SeDuMi's exact pivot semantics
+  (blkchol2.c:96-167: lb = canceltol * accumulated |L|^2 d magnitude;
+  d_j < lb  =>  diagonal add to lb; optional skip), written as a
+  lax.fori_loop over columns with masked arithmetic — data-parallel
+  branches, no dynamic control flow (SURVEY.md section 7 hard part 2).
+* ``refine_solve`` — fixed-count iterative refinement of L-solves against
+  an exact matvec, recovering full accuracy from an inexact/regularized
+  factor (the role wrapPcg.m:94-130 plays in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+
+class CholFactor(NamedTuple):
+    L: jax.Array          # lower-triangular factor of the regularized matrix
+    ok: jax.Array         # scalar bool: factorization finite
+
+
+def chol_factor(M: jax.Array, reg) -> CholFactor:
+    """Cholesky of M + reg * scale * I (scale = mean diagonal magnitude)."""
+    m = M.shape[0]
+    scale = jnp.mean(jnp.abs(jnp.diag(M))) + jnp.finfo(M.dtype).tiny
+    Mr = M + (reg * scale) * jnp.eye(m, dtype=M.dtype)
+    L = jnp.linalg.cholesky(Mr)
+    ok = jnp.all(jnp.isfinite(L))
+    return CholFactor(L=L, ok=ok)
+
+
+def chol_solve(f: CholFactor, b: jax.Array) -> jax.Array:
+    y = solve_triangular(f.L, b, lower=True)
+    return solve_triangular(f.L.T, y, lower=False)
+
+
+def refine_solve(
+    matvec: Callable[[jax.Array], jax.Array],
+    f: CholFactor,
+    b: jax.Array,
+    iters: int = 2,
+) -> jax.Array:
+    """Solve matvec(x)=b using f as (possibly inexact) direct solver,
+    polished by `iters` rounds of iterative refinement."""
+    x = chol_solve(f, b)
+
+    def body(_, x):
+        r = b - matvec(x)
+        return x + chol_solve(f, r)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
+class LdlFactor(NamedTuple):
+    """Unit-lower LDL' with SeDuMi pivot bookkeeping (blkchol.c:393-421)."""
+
+    L: jax.Array          # unit lower triangular
+    d: jax.Array          # pivots after add/skip treatment
+    skip: jax.Array       # bool[m]: pivot was skipped (unstable/nonpositive)
+    diagadd: jax.Array    # float[m]: amount added to the pivot
+
+
+def ldl_masked(M: jax.Array, canceltol: float = 1e-12, maxu: float = 5e5,
+               abstol: float = 1e-20, skip_pivots: bool = True) -> LdlFactor:
+    """Right-looking LDL' with masked add/skip pivot handling.
+
+    Column j of the reference algorithm (blkchol2.c cholonBlk):
+      absd_j = accumulated magnitude sum_k L_jk^2 d_k  (+ |M_jj|)
+      lb     = canceltol * absd_j
+      if d_j < lb: cancellation  -> d_j := lb (+record diagadd)  [add]
+      if max|L_:j| > maxu and skipping enabled -> skip pivot:
+         L_:j := e_j, d_j := absd-scaled large value (solve contributes ~0)
+    Masked arithmetic only — jit/TPU friendly.
+    """
+    m = M.shape[0]
+    dtype = M.dtype
+    eye = jnp.eye(m, dtype=dtype)
+
+    def body(j, carry):
+        A, L, d, skip, diagadd, absd = carry
+        ajj = A[j, j]
+        lbj = canceltol * absd[j] + abstol
+        cancelled = ajj < lbj
+        dj = jnp.where(cancelled, lbj, ajj)
+        add = jnp.where(cancelled, lbj - ajj, 0.0)
+        col = A[:, j] / dj
+        # elements above/at the diagonal do not belong to L
+        mask_below = jnp.arange(m) > j
+        col = jnp.where(mask_below, col, 0.0)
+        unstable = jnp.logical_and(
+            jnp.asarray(skip_pivots), jnp.max(jnp.abs(col)) > maxu
+        )
+        do_skip = jnp.logical_and(unstable, jnp.logical_not(cancelled))
+        colf = jnp.where(do_skip, 0.0, col)
+        dj = jnp.where(do_skip, jnp.asarray(jnp.inf, dtype), dj)
+        # rank-1 trailing update A -= colf dj colf' (skipped pivot: no-op)
+        A = A - jnp.where(jnp.isfinite(dj), dj, 0.0) * jnp.outer(colf, colf)
+        absd = absd + jnp.where(jnp.isfinite(dj), dj, 0.0) * colf**2
+        L = L.at[:, j].set(colf + eye[:, j])
+        d = d.at[j].set(dj)
+        skip = skip.at[j].set(do_skip)
+        diagadd = diagadd.at[j].set(add)
+        return A, L, d, skip, diagadd, absd
+
+    init = (
+        M,
+        jnp.zeros((m, m), dtype),
+        jnp.zeros(m, dtype),
+        jnp.zeros(m, bool),
+        jnp.zeros(m, dtype),
+        jnp.abs(jnp.diag(M)),
+    )
+    _, L, d, skip, diagadd, _ = jax.lax.fori_loop(0, m, body, init)
+    return LdlFactor(L=L, d=d, skip=skip, diagadd=diagadd)
+
+
+def ldl_solve(f: LdlFactor, b: jax.Array) -> jax.Array:
+    """Solve with the (possibly pivot-skipped) LDL': skipped pivots have
+    d=inf so their components contribute zero, matching the reference's
+    'solve the non-skipped subsystem' behavior (deninfac.m:86-94)."""
+    y = solve_triangular(f.L, b, lower=True, unit_diagonal=True)
+    y = jnp.where(jnp.isfinite(f.d), y / f.d, 0.0)
+    return solve_triangular(f.L.T, y, lower=False, unit_diagonal=True)

@@ -1,0 +1,280 @@
+"""Interior-point core: homogeneous self-dual embedding, NT scaling,
+predictor-corrector directions — one fully jitted iteration.
+
+Reference analog: the main IPM loop sedumi.m:428-571 with wregion.m /
+sddir.m / sdfactor.m.  The reference solves the Ye-Todd-Mizuno self-dual
+embedding in Sturm's v-space; we solve the standard (x,y,z,tau,kappa)
+homogeneous self-dual system
+
+    A x - b tau           = 0
+    A'y + z - c tau       = 0
+    c'x - b'y + kappa     = 0
+    x,z in K,  tau,kappa >= 0
+
+with NT-scaled Newton directions and the Mehrotra second-order corrector
+(pars.alg=2, the reference default; sedumi.m:121-134).  Per iteration:
+
+  1. residuals + mu
+  2. NT scaling from (x,z)                  [nt.compute_scaling]
+  3. augmented Schur complement M=[A;c']H[A;c']'  [schur.build_schur]
+  4. Cholesky (+ traced regularization, iterative refinement) [chol]
+  5. affine ("predictor") direction, boundary step, sigma heuristic
+  6. combined ("corrector") direction, step to gamma * boundary
+                                            [wregion.m:91-150 analog]
+
+Three Schur solves per iteration (static column u, affine, combined),
+matching the reference's solve count (SURVEY.md section 3.2).
+
+Everything is a pure function of the state; the host driver (solver.py)
+owns control flow, stopping, and certificate logic, keeping scalars on
+host (SURVEY.md section 7 item 6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import jordan as jd
+from . import nt
+from .chol import chol_factor
+from .pcg import refine_solve_dd
+from .cones import Layout
+from .opA import DenseAOp
+from .params import Pars
+from .schur import build_schur
+from .structs import (
+    ConeVec,
+    cv_add,
+    cv_dot,
+    cv_eye,
+    cv_neg,
+    cv_norm,
+    cv_scale,
+    cv_sub,
+)
+
+
+class IPMState(NamedTuple):
+    x: ConeVec
+    y: jax.Array
+    z: ConeVec
+    tau: jax.Array
+    kappa: jax.Array
+
+
+class StepStats(NamedTuple):
+    """Per-iteration scalars returned to the host driver (the structured
+    per-iteration log line of sedumi.m:406-407, 519-520)."""
+
+    mu: jax.Array
+    alpha: jax.Array
+    sigma: jax.Array
+    err_p: jax.Array      # ||Ax - b tau|| / tau / (1+||b||inf)
+    err_d: jax.Array      # ||A'y + z - c tau|| / tau / (1+||c||inf)
+    gap_rel: jax.Array    # |c'x - b'y|/tau / (1+|c'x/tau|+|b'y/tau|)
+    cx: jax.Array         # c'x (unscaled by tau)
+    by: jax.Array         # b'y
+    tau: jax.Array
+    kappa: jax.Array
+    chol_ok: jax.Array
+    res_p_abs: jax.Array  # ||Ax - b tau||
+    res_d_abs: jax.Array  # ||A'y + z - c tau||
+
+
+def cv_jmul(a: ConeVec, b: ConeVec) -> ConeVec:
+    return ConeVec(
+        l=a.l * b.l,
+        q=tuple(jd.q_jmul(x, y) for x, y in zip(a.q, b.q)),
+        s=tuple(jd.s_jmul(x, y) for x, y in zip(a.s, b.s)),
+    )
+
+
+def init_state(layout: Layout, aop: DenseAOp, b, normb: float, normc: float,
+               pars: Pars, dtype=jnp.float64) -> IPMState:
+    """Identity start on the central path (reference: sdinit.m:42-105,
+    mu0 = pars.mu * sqrt((1+||b||inf)(1+||c||inf)))."""
+    mu0 = pars.mu * float(jnp.sqrt((1.0 + normb) * (1.0 + normc)))
+    e = cv_eye(layout, dtype)
+    root = float(jnp.sqrt(mu0))
+    x = cv_scale(e, root)
+    z = cv_scale(e, root)
+    y = jnp.zeros((aop.m,), dtype)
+    return IPMState(x=x, y=y, z=z, tau=jnp.asarray(1.0, dtype),
+                    kappa=jnp.asarray(mu0, dtype))
+
+
+def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
+              cscale: float = 1.0):
+    """Build the jitted one-iteration step function for a fixed layout.
+
+    The returned function takes (aop, b, rs, state, reg) — the operator and
+    data are traced arguments, never closed-over constants (closing over
+    large arrays triggers XLA constant-folding pathologies at compile time).
+
+    The solver runs on row-equilibrated A,b and objective-normalized
+    c/cscale; `normb`/`normc` are the ORIGINAL-data norms and all reported
+    stats (err_p/err_d/gap_rel/cx/by) are in original units, so the
+    stopping test matches the reference's DIMACS criteria on user data.
+    """
+    nu = layout.nu
+    gamma = 0.99  # step fraction to boundary; neighborhood-safe default
+    refine_iters = 2
+    defect_correct = max(0, int(pars.cg.refine))
+    e_scaled = cv_eye(layout, jnp.dtype(pars.dtype))
+
+    def _pos_step(val, dval):
+        """sup {a : val + a*dval >= 0} for scalar val>0."""
+        big = jnp.asarray(jnp.inf, val.dtype)
+        return jnp.where(dval < 0, -val / dval, big)
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def step(aop: DenseAOp, b: jax.Array, rs: jax.Array, state: IPMState,
+             reg: jax.Array):
+        # rs: row-equilibration scales; convergence is measured on the
+        # ORIGINAL row scaling (rp_orig = rp / rs) while all linear algebra
+        # runs on the equilibrated system.
+        m = aop.m
+        x, y, z, tau, kappa = state
+
+        # --- residuals ---------------------------------------------------
+        ax = aop.apply(x)
+        Ax, cx = ax[:m], ax[m]
+        rp = Ax - b * tau
+        rd = cv_add(aop.adj_y(y, -tau), z)      # A'y + z - c tau
+        by = b @ y
+        rg = cx - by + kappa
+        gap = cv_dot(x, z)
+        mu = (gap + tau * kappa) / (nu + 1.0)
+
+        # --- scaling + Schur ---------------------------------------------
+        S = nt.compute_scaling(x, z)
+        Maug = build_schur(aop, S)
+        ADA = Maug[:m, :m]
+        ahc = Maug[:m, m]
+        chc = Maug[m, m]
+        f = chol_factor(ADA, reg)
+
+        def solve(rhs):
+            return refine_solve_dd(ADA, f, rhs, iters=refine_iters)
+
+        u = solve(b + ahc)
+        D = chc + b @ u - ahc @ u + kappa / tau
+
+        def direction_raw(rp_rhs, rd_rhs: ConeVec, rg_rhs, rc: ConeVec, r_tk):
+            """Newton direction for general right-hand sides:
+                 A dx - b dtau                  = rp_rhs
+                 A'dy + dz - c dtau             = rd_rhs
+                 c'dx - b'dy + dkappa           = rg_rhs
+                 dx + H dz                      = W(lam^-1 o rc)
+                 tau dkappa + kappa dtau        = r_tk
+            (sddir.m analog).  Dual and complementarity rows are satisfied
+            exactly by construction; primal/gap rows up to solve accuracy.
+            """
+            rcx = nt.scale_v_to_x(S, nt.lam_inv_jmul(S, rc))
+            hrd = nt.H_apply(S, rd_rhs)
+            t = cv_sub(rcx, hrd)
+            att = aop.apply(t)
+            v = solve(rp_rhs - att[:m])
+            num = -rg_rhs + r_tk / tau + att[m] - (b - ahc) @ v
+            dtau = num / D
+            dy = v + dtau * u
+            g = aop.adj_y(dy, -dtau)            # A'dy - c dtau
+            dz = cv_sub(rd_rhs, g)
+            dx = cv_sub(rcx, nt.H_apply(S, dz))
+            dkappa = (r_tk - kappa * dtau) / tau
+            return dx, dy, dz, dtau, dkappa
+
+        def direction(rc: ConeVec, r_tk):
+            """Direction for the full current residuals, polished by
+            defect-correction passes: the Schur solve's relative error
+            re-injects primal residual (the stall floor of plain Mehrotra);
+            re-solving with the primal/gap equation defects as rhs drives
+            the direction defect to O(solve_err^2) (the role of the
+            reference's PCG refine restarts, wrapPcg.m:100-130)."""
+            dx, dy, dz, dtau, dkappa = direction_raw(-rp, cv_neg(rd), -rg, rc, r_tk)
+            for _ in range(defect_correct):
+                dax = aop.apply(dx)
+                def_p = -rp - (dax[:m] - b * dtau)
+                def_g = -rg - (dax[m] - b @ dy + dkappa)
+                cx_, cy_, cz_, ct_, ck_ = direction_raw(
+                    def_p, cv_scale(e_scaled, 0.0), def_g,
+                    cv_scale(e_scaled, 0.0), jnp.zeros(()),
+                )
+                dx = cv_add(dx, cx_)
+                dy = dy + cy_
+                dz = cv_add(dz, cz_)
+                dtau = dtau + ct_
+                dkappa = dkappa + ck_
+            return dx, dy, dz, dtau, dkappa
+
+        lam2 = nt.lam_sq(S)
+
+        # --- affine (predictor) ------------------------------------------
+        dxa, dya, dza, dtaua, dkappaa = direction(cv_neg(lam2), -tau * kappa)
+        dxs_a = nt.scale_x_to_v(S, dxa)
+        dzs_a = nt.scale_z_to_v(S, dza)
+        amax_a = jnp.minimum(
+            jnp.minimum(nt.maxstep_scaled(S, dxs_a), nt.maxstep_scaled(S, dzs_a)),
+            jnp.minimum(_pos_step(tau, dtaua), _pos_step(kappa, dkappaa)),
+        )
+        a_aff = jnp.minimum(1.0, amax_a)
+        gap_aff = (
+            gap
+            + a_aff * (cv_dot(x, dza) + cv_dot(z, dxa))
+            + a_aff**2 * cv_dot(dxa, dza)
+            + (tau + a_aff * dtaua) * (kappa + a_aff * dkappaa)
+        )
+        mu_aff = gap_aff / (nu + 1.0)
+        sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
+
+        # --- combined (corrector) ----------------------------------------
+        if pars.alg == 0:
+            rc = cv_sub(cv_scale(e_scaled, sigma * mu), lam2)
+            r_tk = sigma * mu - tau * kappa
+        else:
+            corr = cv_jmul(dxs_a, dzs_a)
+            rc = cv_sub(cv_sub(cv_scale(e_scaled, sigma * mu), lam2), corr)
+            r_tk = sigma * mu - tau * kappa - dtaua * dkappaa
+        dx, dy, dz, dtau, dkappa = direction(rc, r_tk)
+        dxs = nt.scale_x_to_v(S, dx)
+        dzs = nt.scale_z_to_v(S, dz)
+        amax = jnp.minimum(
+            jnp.minimum(nt.maxstep_scaled(S, dxs), nt.maxstep_scaled(S, dzs)),
+            jnp.minimum(_pos_step(tau, dtau), _pos_step(kappa, dkappa)),
+        )
+        alpha = jnp.minimum(gamma * amax, 1.0)
+
+        new = IPMState(
+            x=jax.tree_util.tree_map(lambda a, d: a + alpha * d, x, dx),
+            y=y + alpha * dy,
+            z=jax.tree_util.tree_map(lambda a, d: a + alpha * d, z, dz),
+            tau=tau + alpha * dtau,
+            kappa=kappa + alpha * dkappa,
+        )
+
+        res_p = jnp.linalg.norm(rp / rs)
+        res_d = cv_norm(rd) * cscale
+        cxs = cx / tau * cscale
+        bys = by / tau * cscale
+        stats = StepStats(
+            mu=mu,
+            alpha=alpha,
+            sigma=sigma,
+            err_p=res_p / tau / (1.0 + normb),
+            err_d=res_d / tau / (1.0 + normc),
+            gap_rel=jnp.abs(cxs - bys) / (1.0 + jnp.abs(cxs) + jnp.abs(bys)),
+            cx=cx * cscale,
+            by=by * cscale,
+            tau=tau,
+            kappa=kappa,
+            chol_ok=f.ok,
+            res_p_abs=res_p,
+            res_d_abs=res_d,
+        )
+        return new, stats
+
+    return step

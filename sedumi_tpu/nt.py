@@ -1,0 +1,202 @@
+"""Nesterov-Todd scaling, computed directly from (x, z) each iteration.
+
+Reference analog: updtransfo.m:40-108 maintains the NT scaling d by a
+numerically delicate *incremental* triangular update chain
+(urotorder -> givensrot -> sqrtinv -> qrK).  On TPU we instead recompute the
+scaling from scratch every iteration with batched dense factorizations,
+which is numerically direct and maps onto batched cholesky/eigh kernels
+(SURVEY.md section 7, hard part 3):
+
+* LP:   d = x/z, scaled point lam = sqrt(x*z).
+* SOC:  closed-form NT point w with P(w) z = x:
+          gx=sqrt(x'Jx), gz=sqrt(z'Jz), xb=x/gx, zb=z/gz,
+          gamma=sqrt((1+xb'zb)/2), wb=(xb+J zb)/(2 gamma) (so wb'J wb=1),
+          w = eta*wb with eta^2 = gx/gz,  H = P(w) = eta^2 (2 wb wb' - J).
+        u = sqrt(w) gives W = P(u) = H^{1/2} and W^{-1} = P(u^{-1}).
+* PSD:  factor Z = Lz Lz', eigh(Lz' X Lz) = Q diag(sig^2) Q', then
+          R    = Lz^{-T} Q diag(sig^(1/2))      (H y = R R' y R R')
+          Rinv = diag(sig^(-1/2)) Q' Lz'
+        satisfy R^{-1} X R^{-T} = R' Z R = diag(sig) =: Lam — both scaled
+        variables become the same *diagonal* matrix, so scaled-space Jordan
+        ops are elementwise (s_inv_jmul_diag).
+
+The scaled point lam satisfies <lam,lam> = <x,z> per cone.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import jordan as jd
+from .structs import ConeVec
+
+
+class Scaling(NamedTuple):
+    """NT scaling for the full cone product (a JAX pytree).
+
+    lam is the scaled point V with <V,V> = x'z; for PSD buckets it is the
+    diagonal (vector) of the scaled matrix.
+    """
+
+    d_l: jax.Array                      # [nl] = x/z
+    lam_l: jax.Array                    # [nl] = sqrt(x z)
+    q_wb: tuple[jax.Array, ...]         # [n,d] normalized NT point
+    q_eta2: tuple[jax.Array, ...]       # [n]   = gx/gz
+    q_u: tuple[jax.Array, ...]          # [n,d] = sqrt(w)
+    q_uinv: tuple[jax.Array, ...]       # [n,d] = w^{-1/2}
+    q_lam: tuple[jax.Array, ...]        # [n,d] scaled point (full vector)
+    s_r: tuple[jax.Array, ...]          # [n,d,d]
+    s_rinv: tuple[jax.Array, ...]       # [n,d,d]
+    s_lam: tuple[jax.Array, ...]        # [n,d] diagonal scaled point
+
+
+def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
+    # --- LP ---
+    d_l = x.l / z.l
+    lam_l = jnp.sqrt(x.l * z.l)
+
+    # --- SOC ---
+    q_wb, q_eta2, q_u, q_uinv, q_lam = [], [], [], [], []
+    for xq, zq in zip(x.q, z.q):
+        gx = jnp.sqrt(jd.q_tdet(xq))
+        gz = jnp.sqrt(jd.q_tdet(zq))
+        xb = xq / gx[..., None]
+        zb = zq / gz[..., None]
+        xbzb = jnp.sum(xb * zb, axis=-1)
+        gamma = jnp.sqrt(0.5 * (1.0 + xbzb))
+        jzb = jnp.concatenate([zb[..., :1], -zb[..., 1:]], axis=-1)
+        wb = (xb + jzb) / (2.0 * gamma[..., None])
+        eta2 = gx / gz
+        w = jnp.sqrt(eta2)[..., None] * wb
+        u = jd.q_sqrt(w)
+        uinv = jd.q_inv(u)
+        lam = jd.q_quad_rep_apply(u, zq)
+        q_wb.append(wb)
+        q_eta2.append(eta2)
+        q_u.append(u)
+        q_uinv.append(uinv)
+        q_lam.append(lam)
+
+    # --- PSD ---
+    s_r, s_rinv, s_lam = [], [], []
+    for xs, zs in zip(x.s, z.s):
+        lz = jnp.linalg.cholesky(zs)
+        m = jnp.einsum("...ba,...bc,...cd->...ad", lz, xs, lz)
+        sig2, qmat = jnp.linalg.eigh(m)
+        sig2 = jnp.maximum(sig2, jnp.finfo(sig2.dtype).tiny)
+        sig = jnp.sqrt(sig2)
+        shalf = jnp.sqrt(sig)
+        # R = Lz^{-T} Q diag(sig^{1/2}): triangular solve with Lz' (upper).
+        qs = qmat * shalf[..., None, :]
+        r = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(lz, -1, -2), qs, lower=False
+        )
+        rinv = (jnp.swapaxes(qmat, -1, -2) / shalf[..., :, None]) @ jnp.swapaxes(lz, -1, -2)
+        s_r.append(r)
+        s_rinv.append(rinv)
+        s_lam.append(sig)
+
+    return Scaling(
+        d_l=d_l, lam_l=lam_l,
+        q_wb=tuple(q_wb), q_eta2=tuple(q_eta2), q_u=tuple(q_u),
+        q_uinv=tuple(q_uinv), q_lam=tuple(q_lam),
+        s_r=tuple(s_r), s_rinv=tuple(s_rinv), s_lam=tuple(s_lam),
+    )
+
+
+# --- scaled-space transport -------------------------------------------------
+
+
+def scale_x_to_v(S: Scaling, dx: ConeVec) -> ConeVec:
+    """W^{-1} dx: x-space -> scaled space (PSD: R^{-1} dX R^{-T})."""
+    l = dx.l / jnp.sqrt(S.d_l)
+    q = tuple(jd.q_quad_rep_apply(ui, d) for ui, d in zip(S.q_uinv, dx.q))
+    s = tuple(jd.s_congr_t(ri, d) for ri, d in zip(S.s_rinv, dx.s))
+    return ConeVec(l=l, q=q, s=s)
+
+
+def scale_z_to_v(S: Scaling, dz: ConeVec) -> ConeVec:
+    """W dz: z-space -> scaled space (PSD: R' dZ R)."""
+    l = dz.l * jnp.sqrt(S.d_l)
+    q = tuple(jd.q_quad_rep_apply(u, d) for u, d in zip(S.q_u, dz.q))
+    s = tuple(jd.s_congr(r, d) for r, d in zip(S.s_r, dz.s))
+    return ConeVec(l=l, q=q, s=s)
+
+
+def scale_v_to_x(S: Scaling, v: ConeVec) -> ConeVec:
+    """W v: scaled space -> x-space (PSD: R V R')."""
+    l = v.l * jnp.sqrt(S.d_l)
+    q = tuple(jd.q_quad_rep_apply(u, d) for u, d in zip(S.q_u, v.q))
+    s = tuple(jd.s_congr_t(r, d) for r, d in zip(S.s_r, v.s))
+    return ConeVec(l=l, q=q, s=s)
+
+
+def scale_v_to_z(S: Scaling, v: ConeVec) -> ConeVec:
+    """W^{-1} v: scaled space -> z-space (PSD: R^{-T} V R^{-1})."""
+    l = v.l / jnp.sqrt(S.d_l)
+    q = tuple(jd.q_quad_rep_apply(ui, d) for ui, d in zip(S.q_uinv, v.q))
+    s = tuple(jd.s_congr(ri, d) for ri, d in zip(S.s_rinv, v.s))
+    return ConeVec(l=l, q=q, s=s)
+
+
+def H_apply(S: Scaling, u: ConeVec) -> ConeVec:
+    """H u = W^2 u = P(d) u (reference PopK.m / psdscale two-sided)."""
+    l = S.d_l * u.l
+    q = []
+    for wb, eta2, uq in zip(S.q_wb, S.q_eta2, u.q):
+        wu = jnp.sum(wb * uq, axis=-1)
+        ju = jnp.concatenate([uq[..., :1], -uq[..., 1:]], axis=-1)
+        q.append(eta2[..., None] * (2.0 * wb * wu[..., None] - ju))
+    s = tuple(
+        jd.s_congr_t(r, jd.s_congr(r, us))  # R (R' U R) R'
+        for r, us in zip(S.s_r, u.s)
+    )
+    return ConeVec(l=l, q=tuple(q), s=s)
+
+
+def lam_sq(S: Scaling) -> ConeVec:
+    """lam o lam in scaled space (as a ConeVec)."""
+    l = S.lam_l ** 2
+    q = tuple(jd.q_jmul(lam, lam) for lam in S.q_lam)
+    s = []
+    for sig in S.s_lam:
+        n, d = sig.shape
+        s.append(jnp.zeros((n, d, d), sig.dtype).at[..., jnp.arange(d), jnp.arange(d)].set(sig**2))
+    return ConeVec(l=l, q=q, s=tuple(s))
+
+
+def lam_inv_jmul(S: Scaling, r: ConeVec) -> ConeVec:
+    """Solve lam o u = r in scaled space."""
+    l = r.l / S.lam_l
+    q = tuple(jd.q_inv_jmul(lam, rq) for lam, rq in zip(S.q_lam, r.q))
+    s = tuple(jd.s_inv_jmul_diag(sig, rs) for sig, rs in zip(S.s_lam, r.s))
+    return ConeVec(l=l, q=q, s=tuple(s))
+
+
+def lam_as_conevec(S: Scaling) -> ConeVec:
+    """The scaled point lam as a ConeVec (PSD: diagonal matrices)."""
+    s = []
+    for sig in S.s_lam:
+        n, d = sig.shape
+        s.append(jnp.zeros((n, d, d), sig.dtype).at[..., jnp.arange(d), jnp.arange(d)].set(sig))
+    return ConeVec(l=S.lam_l, q=S.q_lam, s=tuple(s))
+
+
+def maxstep_scaled(S: Scaling, dv: ConeVec) -> jax.Array:
+    """sup {a : lam + a*dv in K} over the whole product, in scaled space.
+
+    Equals the unscaled max step (W preserves the cone).  Reference analog:
+    maxstep.m (LP ratio test, Lorentz eigen-quadratic, PSD min-eigenvalue).
+    """
+    big = jnp.asarray(jnp.inf, S.d_l.dtype if S.d_l.size else jnp.float64)
+    steps = [jd.l_maxstep(S.lam_l, dv.l)]
+    for lam, dq in zip(S.q_lam, dv.q):
+        st = jd.q_maxstep(lam, dq)
+        steps.append(jnp.min(st, initial=big))
+    for sig, ds in zip(S.s_lam, dv.s):
+        st = jd.s_maxstep_scaled(sig, ds)
+        steps.append(jnp.min(st, initial=big))
+    return jnp.min(jnp.stack(steps)) if steps else big

@@ -1,0 +1,109 @@
+"""The constraint operator A in bucketed dense form.
+
+TPU-first design (SURVEY.md section 7, items 2-3): instead of the
+reference's sparse At with per-range extraction (partitA.c, extractA.c,
+findblks.c), we materialize A — augmented with the objective c as a final
+row — as dense per-bucket tensors:
+
+    Al : [m+1, nl]
+    Aq : per q-bucket [m+1, count, d]
+    As : per s-bucket [m+1, count, d, d]   (PSD coefficient matrices,
+                                            symmetrized; vecsym.c analog)
+
+so that A x, A'w and the Schur complement A H A' are all plain batched
+matmuls/einsums on the MXU.  The augmented row gives A H c and c' H c for
+free in the same product (the self-dual embedding needs them each
+iteration, sedumi.m:442-466).
+
+Row convention: rows 0..m-1 are the constraints, row m is c.  The augmented
+adjoint maps w=[y; -tau] to A'y - c*tau, exactly the combination appearing
+in the dual residual.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from .cones import Layout
+from .structs import ConeVec
+
+
+class DenseAOp(NamedTuple):
+    """Dense bucketed operator for [A; c'].
+
+    A NamedTuple (hence a JAX pytree) so it is always passed as a *traced
+    argument* into jitted functions — closing over large constants triggers
+    XLA constant-folding pathologies and bakes data into executables.
+    """
+
+    Al: jax.Array
+    Aq: tuple[jax.Array, ...]
+    As: tuple[jax.Array, ...]
+
+    @property
+    def m(self) -> int:
+        return self.Al.shape[0] - 1
+
+    def apply(self, x: ConeVec) -> jax.Array:
+        """[A x ; c'x] — shape [m+1]."""
+        out = self.Al @ x.l if self.Al.shape[1] else jnp.zeros(self.m + 1, x.l.dtype)
+        for aq, xq in zip(self.Aq, x.q):
+            out = out + jnp.einsum("mcd,cd->m", aq, xq)
+        for as_, xs in zip(self.As, x.s):
+            out = out + jnp.einsum("mkab,kab->m", as_, xs)
+        return out
+
+    def adj(self, w: jax.Array) -> ConeVec:
+        """Adjoint of the augmented operator: w=[y; t] -> A'y + c*t."""
+        l = self.Al.T @ w
+        q = tuple(jnp.einsum("mcd,m->cd", aq, w) for aq in self.Aq)
+        s = tuple(jnp.einsum("mkab,m->kab", as_, w) for as_ in self.As)
+        return ConeVec(l=l, q=q, s=s)
+
+    def adj_y(self, y: jax.Array, minus_tau: jax.Array) -> ConeVec:
+        """A'y - c*tau via the augmented adjoint."""
+        w = jnp.concatenate([y, jnp.reshape(minus_tau, (1,))])
+        return self.adj(w)
+
+
+def build_dense_aop(
+    At: sp.spmatrix, c: np.ndarray, layout: Layout, dtype=np.float64
+) -> DenseAOp:
+    """Host: build the dense bucketed [A; c'] from sparse internal data.
+
+    At is the internal N x m sparse matrix (columns = constraints, SeDuMi
+    transpose convention), c the internal N-vector.
+    """
+    N, m = At.shape
+    assert N == layout.N, (N, layout.N)
+    aug = sp.hstack(
+        [sp.csc_matrix(At), sp.csc_matrix(np.asarray(c, dtype).reshape(-1, 1))]
+    ).tocsr()
+
+    Al = np.asarray(aug[: layout.l, :].todense(), dtype=dtype).T  # [m+1, nl]
+
+    q_offs = layout.q_offsets()
+    Aq = []
+    for b in layout.q_buckets:
+        rows = np.concatenate([q_offs[i] + np.arange(b.dim) for i in b.block_ids]) \
+            if b.count else np.zeros(0, np.int64)
+        blk = np.asarray(aug[rows, :].todense(), dtype=dtype)  # [count*d, m+1]
+        Aq.append(jnp.asarray(blk.T.reshape(m + 1, b.count, b.dim)))
+
+    s_offs = layout.s_offsets()
+    As = []
+    for b in layout.s_buckets:
+        rows = np.concatenate(
+            [s_offs[i] + np.arange(b.dim * b.dim) for i in b.block_ids]
+        ) if b.count else np.zeros(0, np.int64)
+        blk = np.asarray(aug[rows, :].todense(), dtype=dtype)
+        t = blk.T.reshape(m + 1, b.count, b.dim, b.dim)
+        t = 0.5 * (t + np.swapaxes(t, -1, -2))  # symmetrize (vecsym.c)
+        As.append(jnp.asarray(t))
+
+    return DenseAOp(Al=jnp.asarray(Al), Aq=tuple(Aq), As=tuple(As))

@@ -1,0 +1,162 @@
+"""Solver parameters.
+
+Typed equivalent of the reference's ``pars`` struct with identical field
+names and defaults (reference: checkpars.m:40-193), so that existing SeDuMi
+call sites translate directly.  Unknown keys are rejected loudly instead of
+being silently ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+
+@dataclass
+class CholPars:
+    """Cholesky robustness controls (reference: checkpars.m:145-168).
+
+    skip      -- 1: skip unstable pivots (repaired by PCG), 0: keep them.
+    abstol    -- absolute pivot floor.
+    canceltol -- relative cancellation tolerance: a computed pivot smaller
+                 than canceltol * (accumulated magnitude) is considered
+                 cancelled and gets a diagonal add (blkchol.c:176-184).
+    maxu      -- max allowed |L(i,j)| growth before a pivot is skipped.
+    maxuden   -- like maxu for the dense-column product-form factors.
+    """
+
+    skip: int = 1
+    abstol: float = 1e-20
+    canceltol: float = 1e-12
+    maxu: float = 5e5
+    maxuden: float = 5e2
+
+
+@dataclass
+class CgPars:
+    """Preconditioned-conjugate-gradient controls (checkpars.m:170-193).
+
+    qprec   -- 1: accumulate the CG solution in double-double (compensated)
+               arithmetic (reference: loopPcg.m:100-108 + quadadd.c).
+    restol  -- relative residual tolerance for accepting a CG refinement.
+    stagtol -- stagnation tolerance.
+    maxiter -- max CG iterations per solve.
+    refine  -- number of refinement restarts.
+    """
+
+    qprec: int = 1
+    restol: float = 5e-3
+    stagtol: float = 5e-14
+    maxiter: int = 49
+    refine: int = 1
+
+
+@dataclass
+class Pars:
+    """All solver parameters; field names/defaults mirror checkpars.m.
+
+    Algorithm selection (checkpars.m:40-75):
+      alg     -- 0: no corrector; 1: v-linearized corrector; 2: xz-corrector
+                 (Mehrotra-style second order, default).
+      beta    -- wide-region neighborhood parameter in [0.1, 0.9].
+      theta   -- wide-region parameter in [0.01, 1.0] (1.0 when alg=0).
+      stepdif -- primal/dual step-length differentiation: 0 off, 1 on,
+                 2 adaptive (default).
+      w       -- weights (len 2) for primal vs dual merit in step diff.
+
+    Preprocessing:
+      free    -- free variables: 0 split into x+ - x-, 1 embed in a Lorentz
+                 cone (default; pretransfo.m:339-387).
+      sdp     -- enable SDP preprocessing (diag-block detection).
+
+    Initialization:
+      mu      -- initial centrality scale factor (sdinit.m:42-105).
+
+    Stopping / reporting:
+      fid     -- 0: silent; nonzero: print progress (my_fprintf.m).
+      eps     -- accuracy target (default 1e-8).
+      bigeps  -- degraded-accuracy threshold separating numerr=1 from 2.
+      maxiter -- IPM iteration cap (default 150).
+
+    Diagnostics: vplot, stopat (callback hook at given iterations),
+      errors (compute/print DIMACS errors), prep (print preprocessing info).
+
+    Dense columns: denq (quantile), denf (multiplier) — getdense.m:41-99.
+
+    TPU-specific extensions (no reference analog):
+      dtype        -- numeric dtype of the IPM core ("float64"/"float32").
+      schur_dtype  -- dtype used to *form/factor* the Schur complement; if
+                      lower precision than `dtype`, the factor acts as a PCG
+                      preconditioner and solves are refined matrix-free in
+                      `dtype` (TPU mixed-precision path).
+      mesh_shape   -- optional dict axis->size for multi-chip sharding.
+      checkpoint_every / checkpoint_path -- iterate snapshotting.
+    """
+
+    alg: int = 2
+    beta: float = 0.5
+    theta: float = 0.25
+    stepdif: int = 2
+    w: tuple[float, float] = (1.0, 1.0)
+    free: int = 1
+    sdp: int = 1
+    mu: float = 1.0
+    fid: int = 1
+    eps: float = 1e-8
+    bigeps: float = 1e-3
+    maxiter: int = 150
+    vplot: int = 0
+    stopat: int = -1
+    errors: int = 1
+    prep: int = 1
+    denq: float = 0.75
+    denf: float = 10.0
+    numtol: float = 5e-7
+    bignumtol: float = 0.9
+    numlvl: int = 0
+    chol: CholPars = field(default_factory=CholPars)
+    cg: CgPars = field(default_factory=CgPars)
+    # --- TPU-native extensions ---
+    dtype: str = "float64"
+    schur_dtype: str | None = None
+    mesh_shape: Mapping[str, int] | None = None
+    checkpoint_every: int = 0
+    checkpoint_path: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.alg not in (0, 1, 2):
+            self.alg = 2
+        self.beta = min(0.9, max(0.1, self.beta))
+        if self.alg == 0:
+            # Pure centering follows the central path exactly (theta=1).
+            self.theta = 1.0
+        self.theta = min(1.0, max(0.01, self.theta))
+        w = tuple(float(max(wi, 1e-8)) for wi in self.w)
+        if len(w) != 2:
+            w = (1.0, 1.0)
+        self.w = w
+        if self.mu <= 0:
+            self.mu = 1.0
+
+    @classmethod
+    def make(cls, pars: "Pars | Mapping[str, Any] | None") -> "Pars":
+        """Build a Pars from None, an existing Pars, or a dict.
+
+        Dicts may use nested dicts for 'chol'/'cg' (reference-style
+        ``pars.chol.maxu`` etc.).
+        """
+        if pars is None:
+            return cls()
+        if isinstance(pars, cls):
+            return pars
+        d = dict(pars)
+        if "chol" in d and isinstance(d["chol"], Mapping):
+            d["chol"] = CholPars(**dict(d["chol"]))
+        if "cg" in d and isinstance(d["cg"], Mapping):
+            d["cg"] = CgPars(**dict(d["cg"]))
+        valid = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - valid
+        if unknown:
+            raise ValueError(f"unknown pars fields: {sorted(unknown)}")
+        return cls(**d)

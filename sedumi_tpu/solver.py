@@ -1,0 +1,298 @@
+"""Host driver: orchestrates transform -> IPM loop -> recovery -> info.
+
+Reference analog: sedumi.m — argument sniffing, the outer IPM loop with
+stopping/certificate logic (sedumi.m:428-571, 578-745), DIMACS error
+reporting (sedumi.m:773-807), and the `info` output contract
+(iter/feasratio/pinf/dinf/numerr/timing/wallsec/cpusec/err).
+
+Control scalars live on host; each iteration is one jitted device step
+(ipm.make_step).  Numerical-failure pathways mirror the reference:
+a non-finite iterate retries the same step with escalated traced
+regularization (the role of blkchol's add/skip + PCG fallback), slow
+merit progress downgrades to numerr=1/2 against eps/bigeps
+(sedumi.m:497-506, 680-691).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import ipm
+from .cones import ConeSpec, Layout
+from .opA import build_dense_aop
+from .params import Pars
+from .structs import to_flat
+from .userapi import eigK
+
+
+@dataclasses.dataclass
+class InternalResult:
+    x: np.ndarray          # flat internal solution (unscaled by tau)
+    y: np.ndarray
+    z: np.ndarray
+    tau: float
+    kappa: float
+    iter: int
+    stop: int              # 1 converged, 0 maxiter, -1 numerical stall
+    err_p: float
+    err_d: float
+    gap_rel: float
+    cx: float
+    by: float
+    iterlog: list[dict]
+
+
+def _log(pars: Pars, msg: str) -> None:
+    if pars.fid:
+        print(msg)
+
+
+def solve_internal(
+    At, b, c, layout: Layout, pars: Pars
+) -> InternalResult:
+    """Run the homogeneous self-dual IPM on a problem in internal form.
+
+    At: (N x m) scipy sparse internal data; b: (m,); c: (N,).
+    """
+    import scipy.sparse as sp
+
+    m = At.shape[1]
+    b = np.asarray(b, np.float64).ravel()
+    c = np.asarray(c, np.float64).ravel()
+    At = sp.csc_matrix(At)
+    # Row equilibration: scale each constraint to unit norm.  An exact
+    # reformulation (y_i recovers as d_i * y'_i) that keeps the Schur
+    # complement well-conditioned for badly scaled data; plays the
+    # conditioning role of the reference's PCG safeguards (wrapPcg.m).
+    rnorm = np.sqrt(np.asarray(At.multiply(At).sum(axis=0)).ravel() + b**2)
+    rowscale = np.where(rnorm > 0, 1.0 / np.maximum(rnorm, 1e-300), 1.0)
+    b_orig = b
+    At = At @ sp.diags(rowscale)
+    b = b * rowscale
+    # Objective normalization: after row equilibration ||b||inf <= 1, so
+    # scaling c to unit magnitude balances the homogeneous embedding's
+    # initial tau/kappa (x=z~e, tau=kappa~1); recovered exactly below
+    # (y,z scale by cscale).  Plays the role of sdinit.m's mu0 scaling.
+    normb = float(np.max(np.abs(b_orig))) if m else 0.0
+    normc = float(np.max(np.abs(c))) if c.size else 0.0
+    cscale = 1.0 + normc
+    c_s = c / cscale
+    aop = build_dense_aop(At, c_s, layout)
+    normb_s = float(np.max(np.abs(b))) if m else 0.0
+    normc_s = float(np.max(np.abs(c_s))) if c.size else 0.0
+
+    state = ipm.init_state(layout, aop, b, normb_s, normc_s, pars)
+    step = ipm.make_step(layout, pars, normb, normc, cscale)
+    b_dev = jnp.asarray(b)
+    rs_dev = jnp.asarray(rowscale)
+
+    reg = 0.0
+    iterlog: list[dict] = []
+    stop = 0
+    it = 0
+    stall = 0
+    best_state = state
+    best_worst = np.inf
+    best_rec = None
+    since_best = 0
+    _log(pars, f" it      mu        alpha   sigma    err_p     err_d     gap")
+    while it < pars.maxiter:
+        tried = 0
+        while True:
+            new_state, st = step(aop, b_dev, rs_dev, state, jnp.asarray(reg, np.float64))
+            finite = bool(np.isfinite(float(st.mu))) and bool(st.chol_ok) and \
+                np.isfinite(float(st.alpha))
+            leaves_ok = all(
+                bool(np.all(np.isfinite(np.asarray(leaf))))
+                for leaf in [np.asarray(new_state.tau), np.asarray(new_state.kappa)]
+            )
+            if finite and leaves_ok:
+                break
+            tried += 1
+            reg = max(reg * 100.0, 1e-14)
+            if tried > 4:
+                stop = -1
+                break
+        if stop == -1:
+            break
+        state = new_state
+        rec = {k: float(getattr(st, k)) for k in st._fields}
+        iterlog.append(rec)
+        it += 1
+        _log(
+            pars,
+            f"{it:3d}  {rec['mu']:9.2e}  {rec['alpha']:6.4f} {rec['sigma']:6.4f} "
+            f"{rec['err_p']:9.2e} {rec['err_d']:9.2e} {rec['gap_rel']:9.2e}",
+        )
+        if pars.stopat == it:
+            breakpoint()  # pars.stopat debug hook (sedumi.m:430-432)
+        worst = max(rec["err_p"], rec["err_d"], rec["gap_rel"])
+        if worst < best_worst:
+            best_worst = worst
+            best_state = state
+            best_rec = rec
+            since_best = 0
+        else:
+            since_best += 1
+        # -- convergence --
+        if worst <= pars.eps:
+            stop = 1
+            break
+        # -- plateau: solves at their accuracy floor, no further progress
+        # (best-iterate fallback, loopPcg.m:126-146 analog) --
+        if since_best >= 6 and best_worst < 1e-5:
+            stop = 1 if best_worst <= pars.eps else -1
+            break
+        # -- infeasibility: tau -> 0 while kappa stays --
+        if rec["tau"] < 1e-12 * max(1.0, rec["kappa"]) or (
+            rec["mu"] < pars.eps**2 and rec["tau"] < 1e-6 * rec["kappa"]
+        ):
+            stop = 2  # infeasibility certificate branch
+            break
+        # -- stall: no step progress (merit stagnation, sedumi.m:497-506) --
+        stall = stall + 1 if (rec["alpha"] < 1e-5 and it > 5) else 0
+        if stall >= 3:
+            stop = -1
+            break
+
+    if best_rec is not None and best_worst < np.inf:
+        state = best_state
+        iterlog.append(dict(best_rec))
+    st_last = iterlog[-1] if iterlog else dict(
+        mu=np.inf, err_p=np.inf, err_d=np.inf, gap_rel=np.inf,
+        cx=0.0, by=0.0, tau=1.0, kappa=0.0, alpha=0.0, sigma=0.0,
+        chol_ok=1.0, res_p_abs=np.inf, res_d_abs=np.inf,
+    )
+    x_flat = to_flat(layout, state.x)
+    z_flat = to_flat(layout, state.z)
+    return InternalResult(
+        x=x_flat,
+        y=np.asarray(state.y) * rowscale * cscale,
+        z=z_flat * cscale,
+        tau=float(state.tau),
+        kappa=float(state.kappa),
+        iter=it,
+        stop=stop,
+        err_p=float(st_last["err_p"]),
+        err_d=float(st_last["err_d"]),
+        gap_rel=float(st_last["gap_rel"]),
+        cx=float(st_last["cx"]),
+        by=float(st_last["by"]),
+        iterlog=iterlog,
+    )
+
+
+def sedumi(
+    A,
+    b,
+    c,
+    K: "ConeSpec | Mapping[str, Any] | None" = None,
+    pars: "Pars | Mapping[str, Any] | None" = None,
+):
+    """Solve  min c'x s.t. Ax=b, x in K  /  max b'y s.t. c - A'y in K*.
+
+    User entry point with the reference's calling convention
+    (sedumi.m:49-163): A may be given as A (m x n) or its transpose; K in
+    the external format (f/l/q/r/s + complex fields).  Returns (x, y, info)
+    with the reference `info` contract.
+    """
+    from . import transform as tf
+
+    pars = Pars.make(pars)
+    K = ConeSpec.make(K)
+    t0 = time.time()
+    cpu0 = time.process_time()
+
+    prob = tf.pretransfo(A, b, c, K, pars)
+    t_pre = time.time()
+
+    res = solve_internal(prob.At, prob.b, prob.c, prob.layout, pars)
+    t_ipm = time.time()
+
+    info: dict[str, Any] = {}
+    pinf = dinf = 0
+    numerr = 0
+    tau, kappa = res.tau, res.kappa
+    if res.stop == 2 or (tau < 1e-8 * max(1.0, kappa)):
+        # Farkas branch (sedumi.m:612-728): the scaled iterate certifies
+        # infeasibility: b'y > 0 => primal infeasible; c'x < 0 => dual.
+        if res.by > 0:
+            pinf = 1
+        if res.cx < 0:
+            dinf = 1
+        if not (pinf or dinf):
+            numerr = 2
+        x_u = tf.posttransfo_x(prob, res.x)
+        y_u = tf.posttransfo_y(prob, res.y)
+        info.update(feasratio=-1.0)
+    else:
+        # scale back to the original problem
+        x_int = res.x / tau
+        y_int = res.y / tau
+        x_u = tf.posttransfo_x(prob, x_int)
+        y_u = tf.posttransfo_y(prob, y_int)
+        info.update(feasratio=float((tau - kappa) / (tau + kappa)) if tau + kappa > 0 else 1.0)
+        worst = max(res.err_p, res.err_d, res.gap_rel)
+        if res.stop != 1:
+            numerr = 1 if worst <= pars.bigeps else 2
+    t_post = time.time()
+
+    info.update(
+        iter=res.iter,
+        pinf=pinf,
+        dinf=dinf,
+        numerr=numerr,
+        r0=res.err_p,
+        timing=[t_pre - t0, t_ipm - t_pre, t_post - t_ipm],
+        wallsec=t_post - t0,
+        cpusec=time.process_time() - cpu0,
+    )
+
+    if pars.errors and not (pinf or dinf):
+        info.update(dimacs_errors(A, b, c, K, x_u, y_u))
+        if pars.fid:
+            errs = info["err"]
+            print(
+                "DIMACS errors: "
+                + " ".join(f"{e:8.1e}" for e in errs)
+            )
+    return x_u, y_u, info
+
+
+def dimacs_errors(A, b, c, K, x, y) -> dict[str, Any]:
+    """The six DIMACS error measures on the ORIGINAL data
+    (reference: sedumi.m:773-807 and dimacserrors.m)."""
+    import scipy.sparse as sp
+
+    K = ConeSpec.make(K)
+    b = np.asarray(b).ravel()
+    c = np.asarray(c).ravel() if not sp.issparse(c) else np.asarray(c.todense()).ravel()
+    A = sp.csc_matrix(A)
+    n = K.dim
+    if A.shape != (b.size, n):
+        A = A.T
+    x = np.asarray(x).ravel()
+    y = np.asarray(y).ravel()
+    z = c - A.conj().T @ y
+
+    normb = 1.0 + np.max(np.abs(b)) if b.size else 1.0
+    normc = 1.0 + np.max(np.abs(c)) if c.size else 1.0
+    cx = np.real(np.vdot(c, x))
+    by = np.real(np.vdot(b, y))
+    denom_g = 1.0 + abs(cx) + abs(by)
+
+    err1 = np.linalg.norm(A @ x - b) / normb
+    lab_x = eigK(x, K)
+    err2 = max(0.0, -float(np.min(lab_x)) if lab_x.size else 0.0) / normb
+    err3 = 0.0  # z defined as c - A'y exactly
+    lab_z = eigK(z, K)
+    err4 = max(0.0, -float(np.min(lab_z)) if lab_z.size else 0.0) / normc
+    err5 = (cx - by) / denom_g
+    err6 = np.real(np.vdot(x, z)) / denom_g
+    return {"err": [float(err1), float(err2), float(err3), float(err4), float(err5), float(err6)],
+            "cx": float(cx), "by": float(by)}
