@@ -1,0 +1,77 @@
+"""Multi-chip sharding plan: cone-block data parallelism over a device mesh.
+
+Reference analog: none — the reference is single-process (SURVEY.md
+section 2.8); this is new, first-class scope for the TPU build.
+
+Design (SURVEY.md section 7 item 7): the dominant axis of parallelism in a
+conic IPM is the *cone-block* axis — every Jordan kernel (scaling, eig,
+congruence), the per-block congruences B = R'AR of the Schur formation, and
+the O(m^2 * blockdata) contraction ADA = sum_k B_k B_k' are embarrassingly
+parallel over blocks, with a single psum-shaped reduction into ADA.  We
+annotate the block axis of the bucketed operator/state with a NamedSharding
+over mesh axis "blocks" and let XLA's SPMD partitioner place the
+all-reduce over ICI; the (m x m) Schur complement and factorization stay
+replicated (m is small relative to block data in the target workloads —
+panel-sharded factorization is the next scaling lever).
+
+Nothing in ipm.make_step changes: sharding propagates from the input
+annotations through the jitted step (the XLA-first design bet).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ipm import IPMState
+from ..opA import DenseAOp
+from ..structs import ConeVec
+
+BLOCK_AXIS = "blocks"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = BLOCK_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _put(x, mesh: Mesh, spec: P):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(lambda x: _put(x, mesh, P()), tree)
+
+
+def shard_aop(aop: DenseAOp, mesh: Mesh, axis: str = BLOCK_AXIS) -> DenseAOp:
+    """Shard the cone-block axis of the bucketed operator.
+
+    Al [m+1, nl] is replicated (LP part is cheap); Aq [m+1, count, d] and
+    As [m+1, count, d, d] are sharded along `count`.
+    """
+    return DenseAOp(
+        Al=_put(aop.Al, mesh, P()),
+        Aq=tuple(_put(a, mesh, P(None, axis, None)) for a in aop.Aq),
+        As=tuple(_put(a, mesh, P(None, axis, None, None)) for a in aop.As),
+    )
+
+
+def shard_conevec(v: ConeVec, mesh: Mesh, axis: str = BLOCK_AXIS) -> ConeVec:
+    return ConeVec(
+        l=_put(v.l, mesh, P()),
+        q=tuple(_put(a, mesh, P(axis, None)) for a in v.q),
+        s=tuple(_put(a, mesh, P(axis, None, None)) for a in v.s),
+    )
+
+
+def shard_state(state: IPMState, mesh: Mesh, axis: str = BLOCK_AXIS) -> IPMState:
+    return IPMState(
+        x=shard_conevec(state.x, mesh, axis),
+        y=_put(state.y, mesh, P()),
+        z=shard_conevec(state.z, mesh, axis),
+        tau=_put(state.tau, mesh, P()),
+        kappa=_put(state.kappa, mesh, P()),
+    )
