@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from . import jordan as jd
 from . import nt
+from . import wregion as wr
 from .chol import chol_factor
 from .pcg import refine_solve_dd
 from .cones import Layout
@@ -247,6 +248,16 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             jnp.minimum(_pos_step(tau, dtau), _pos_step(kappa, dkappa)),
         )
         alpha = jnp.minimum(gamma * amax, 1.0)
+        if pars.wr:
+            # wide-region acceptance (wregion.m:136-150): largest batched
+            # trial step keeping delta(v) <= beta; never larger than the
+            # fraction-to-boundary step.
+            lam_cv = nt.lam_as_conevec(S)
+            t_wr, _ = wr.widelen_batched(
+                lam_cv, dxs, dzs, tau, dtau, kappa, dkappa,
+                alpha, pars.theta, pars.beta,
+            )
+            alpha = jnp.minimum(alpha, t_wr)
 
         new = IPMState(
             x=jax.tree_util.tree_map(lambda a, d: a + alpha * d, x, dx),

@@ -112,6 +112,11 @@ class Pars:
     prep: int = 1
     denq: float = 0.75
     denf: float = 10.0
+    wr: int = 0           # 1: Sturm-Zhang wide-region step acceptance
+                          # (widelen/iswnbr safeguard for hard instances);
+                          # 0 (default): plain fraction-to-boundary, which
+                          # is faster and equally accurate on the bundled
+                          # suite
     numtol: float = 5e-7
     bignumtol: float = 0.9
     numlvl: int = 0

@@ -1,0 +1,119 @@
+"""Sturm-Zhang wide-region neighborhood: proximity, product spectra, and a
+batched neighborhood line search.
+
+Reference analogs:
+  * iswnbr.c:97-210 ("getdelta") — proximity delta of the v-space iterate
+    w.r.t. the wide region C(theta).  The reference uses a growing-subset /
+    shrinking-superset linked-list algorithm; on TPU the same water-filling
+    fixed point is one sort + suffix-sums + a vectorized selection:
+      find h^2 = (sum_{j notin T} w_j) / (r - |T|),  T = {j : w_j < h^2},
+      alpha = sum_{j in T}(h - v_j) / (r h),
+      delta = sqrt(r * (alpha(2-alpha) - (1-alpha)^2 sum_{T}(h^2-w_j)/gap)).
+  * widelen.m:84-114 — neighborhood line search over the step length; the
+    reference bisects sequentially with per-trial eigendecompositions, we
+    evaluate a *batch* of trial steps with one batched chol+eigh sweep
+    (SURVEY.md section 7, hard part 4).
+  * tdet.m / ddot.m / psdfactor+psdscale+psdeig — the product-spectrum
+    computation w = spec(P(x)^{1/2} z) per cone family.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import jordan as jd
+from .structs import ConeVec
+
+
+def prod_spectrum(x: ConeVec, z: ConeVec) -> jax.Array:
+    """Concatenated spectral values of P(x)^{1/2} z over all cones.
+
+    LP: x_i z_i.  SOC: spectra of P(sqrt(x)) z.  PSD: eig(U' Z U) with
+    X = U U' (psdfactor.m + psdscale.m + psdeig.m per block, batched).
+    """
+    parts = [x.l * z.l]
+    for xq, zq in zip(x.q, z.q):
+        u = jd.q_sqrt(xq)
+        w = jd.q_quad_rep_apply(u, zq)
+        parts.append(jd.q_eig(w).reshape(-1))
+    for xs, zs in zip(x.s, z.s):
+        u = jnp.linalg.cholesky(xs)
+        m = jnp.einsum("...ba,...bc,...cd->...ad", u, zs, u)
+        parts.append(jnp.linalg.eigvalsh(m).reshape(-1))
+    return jnp.concatenate([p.reshape(-1) for p in parts]) if parts else jnp.zeros(0)
+
+
+def iswnbr(w: jax.Array, theta: float):
+    """(delta, h, alpha) of the wide-region proximity (iswnbr.c:97-210).
+
+    w: squared v-space spectral values (must be positive).  Fully
+    vectorized: one sort + cumulative sums; the unique water-filling index
+    k = |T| satisfies  w_(k-1) < h_k^2 <= ... with
+    h_k^2 = suffix_sum_k / (r - k).
+    """
+    n = w.shape[0]
+    r = n / theta**2
+    gap = jnp.sum(w)
+    ws = jnp.sort(w)
+    vs = jnp.sqrt(jnp.maximum(ws, 0.0))
+    # suffix sums: suf[k] = sum_{j>=k} ws[j], k = 0..n
+    suf = jnp.concatenate([jnp.cumsum(ws[::-1])[::-1], jnp.zeros(1)])
+    pref_w = jnp.concatenate([jnp.zeros(1), jnp.cumsum(ws)])
+    pref_v = jnp.concatenate([jnp.zeros(1), jnp.cumsum(vs)])
+    k_arr = jnp.arange(n + 1, dtype=w.dtype)
+    h2 = suf / (r - k_arr)
+    # validity of prefix size k: (k==0 or ws[k-1] < h2[k]) and (k==n or ws[k] >= h2[k])
+    ws_pad_lo = jnp.concatenate([jnp.full(1, -jnp.inf, w.dtype), ws])    # ws[k-1]
+    ws_pad_hi = jnp.concatenate([ws, jnp.full(1, jnp.inf, w.dtype)])     # ws[k]
+    valid = jnp.logical_and(ws_pad_lo < h2, ws_pad_hi >= h2)
+    k = jnp.argmax(valid)  # unique valid k
+    h2k = h2[k]
+    h = jnp.sqrt(h2k)
+    kf = k.astype(w.dtype)
+    sumdifw = kf * h2k - pref_w[k]
+    sumdifv = kf * h - pref_v[k]
+    alpha = sumdifv / (r * h)
+    delta_sqr = alpha * (2.0 - alpha) - (1.0 - alpha) ** 2 * sumdifw / gap
+    delta = jnp.sqrt(jnp.maximum(r * delta_sqr, 0.0))
+    bad = jnp.min(w) <= 0.0
+    delta = jnp.where(bad, 1e100, delta)
+    return delta, h, alpha
+
+
+def widelen_batched(
+    lam: ConeVec,
+    dxs: ConeVec,
+    dzs: ConeVec,
+    tau, dtau, kappa, dkappa,
+    t_max,
+    theta: float,
+    beta: float,
+    n_trials: int = 8,
+):
+    """Largest trial step t in (0, t_max] keeping the iterate in the wide
+    region (delta <= beta), evaluated as ONE batched sweep over a geometric
+    grid of candidates (widelen.m's sequential bisection, TPU-batched).
+
+    Returns the chosen step (falls back to the smallest candidate when all
+    trials leave the region — the region is open around t=0, so small steps
+    are always safe in exact arithmetic).
+    """
+    fracs = jnp.geomspace(1.0, 0.05, n_trials)
+    ts = fracs * t_max
+
+    def delta_at(t):
+        xs = jax.tree_util.tree_map(lambda a, d: a + t * d, lam, dxs)
+        zs = jax.tree_util.tree_map(lambda a, d: a + t * d, lam, dzs)
+        w = prod_spectrum(xs, zs)
+        w = jnp.concatenate([w, ((tau + t * dtau) * (kappa + t * dkappa))[None]])
+        d, _, _ = iswnbr(w, theta)
+        return d
+
+    deltas = jax.vmap(delta_at)(ts)
+    ok = deltas <= beta
+    # first (largest-t) candidate that is inside the region
+    idx = jnp.argmax(ok)
+    any_ok = jnp.any(ok)
+    t = jnp.where(any_ok, ts[idx], ts[-1] * 0.5)
+    return t, deltas
