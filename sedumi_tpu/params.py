@@ -128,6 +128,7 @@ class Pars:
     mesh_shape: Mapping[str, int] | None = None
     checkpoint_every: int = 0
     checkpoint_path: str | None = None
+    resume: int = 0       # 1: resume from checkpoint_path if it exists
 
     def __post_init__(self) -> None:
         if self.alg not in (0, 1, 2):

@@ -87,6 +87,15 @@ def solve_internal(
     normc_s = float(np.max(np.abs(c_s))) if c.size else 0.0
 
     state = ipm.init_state(layout, aop, b, normb_s, normc_s, pars)
+    # checkpoint/resume (new scope vs the reference, SURVEY.md section 5):
+    # the iterate (x, y, z, tau, kappa) is tiny relative to the data.
+    it0 = 0
+    if pars.resume and pars.checkpoint_path:
+        import os as _os
+
+        if _os.path.exists(pars.checkpoint_path):
+            state, it0 = _load_checkpoint(pars.checkpoint_path, layout)
+            _log(pars, f"resumed from {pars.checkpoint_path} at iter {it0}")
     step = ipm.make_step(layout, pars, normb, normc, cscale)
     b_dev = jnp.asarray(b)
     rs_dev = jnp.asarray(rowscale)
@@ -94,7 +103,7 @@ def solve_internal(
     reg = 0.0
     iterlog: list[dict] = []
     stop = 0
-    it = 0
+    it = it0
     stall = 0
     best_state = state
     best_worst = np.inf
@@ -159,6 +168,8 @@ def solve_internal(
         if stall >= 3:
             stop = -1
             break
+        if pars.checkpoint_every and pars.checkpoint_path and                 it % pars.checkpoint_every == 0:
+            _save_checkpoint(pars.checkpoint_path, layout, state, it)
 
     if best_rec is not None and best_worst < np.inf:
         state = best_state
@@ -185,6 +196,35 @@ def solve_internal(
         by=float(st_last["by"]),
         iterlog=iterlog,
     )
+
+
+def _save_checkpoint(path: str, layout: Layout, state, it: int) -> None:
+    from .structs import to_flat
+
+    np.savez(
+        path,
+        x=to_flat(layout, state.x),
+        y=np.asarray(state.y),
+        z=to_flat(layout, state.z),
+        tau=float(state.tau),
+        kappa=float(state.kappa),
+        it=it,
+    )
+
+
+def _load_checkpoint(path: str, layout: Layout):
+    from .structs import from_flat
+    import jax.numpy as _jnp
+
+    d = np.load(path)
+    state = ipm.IPMState(
+        x=from_flat(layout, d["x"]),
+        y=_jnp.asarray(d["y"]),
+        z=from_flat(layout, d["z"]),
+        tau=_jnp.asarray(float(d["tau"])),
+        kappa=_jnp.asarray(float(d["kappa"])),
+    )
+    return state, int(d["it"])
 
 
 def sedumi(

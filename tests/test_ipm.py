@@ -123,3 +123,21 @@ def test_rotated_cone():
     assert info["numerr"] == 0
     assert 2 * x[0] * x[1] - x[2] ** 2 >= -1e-9
     assert np.linalg.norm(A @ x - np.array([2.0, 1.0])) < 1e-8
+
+
+def test_checkpoint_resume(rng, tmp_path):
+    # interrupt a solve via maxiter, resume from checkpoint, finish
+    m, n = 4, 9
+    A = rng.normal(size=(m, n))
+    x0 = rng.uniform(0.5, 2.0, n)
+    b = A @ x0
+    c = rng.normal(size=n)
+    ckpt = str(tmp_path / "state.npz")
+    base = {"fid": 0, "checkpoint_path": ckpt, "checkpoint_every": 1}
+    x1, _, info1 = sedumi(A, b, c, {"l": n}, {**base, "maxiter": 4})
+    assert info1["iter"] == 4
+    x2, _, info2 = sedumi(A, b, c, {"l": n}, {**base, "resume": 1})
+    assert info2["numerr"] == 0
+    x3, _, info3 = sedumi(A, b, c, {"l": n}, {"fid": 0})
+    # resumed solve reaches the same optimum in fewer additional iterations
+    assert np.linalg.norm(np.asarray(x2) - np.asarray(x3)) < 1e-5 * (1 + np.linalg.norm(x3))
