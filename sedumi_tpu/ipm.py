@@ -243,10 +243,9 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         dx, dy, dz, dtau, dkappa = direction(rc, r_tk)
         dxs = nt.scale_x_to_v(S, dx)
         dzs = nt.scale_z_to_v(S, dz)
-        amax = jnp.minimum(
-            jnp.minimum(nt.maxstep_scaled(S, dxs), nt.maxstep_scaled(S, dzs)),
-            jnp.minimum(_pos_step(tau, dtau), _pos_step(kappa, dkappa)),
-        )
+        amax_p = jnp.minimum(nt.maxstep_scaled(S, dxs), _pos_step(tau, dtau))
+        amax_d = jnp.minimum(nt.maxstep_scaled(S, dzs), _pos_step(kappa, dkappa))
+        amax = jnp.minimum(amax_p, amax_d)
         alpha = jnp.minimum(gamma * amax, 1.0)
         if pars.wr:
             # wide-region acceptance (wregion.m:136-150): largest batched
@@ -259,14 +258,71 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             )
             alpha = jnp.minimum(alpha, t_wr)
 
+        tp = td = alpha
+        if pars.stepdif:
+            # Primal/dual step-length differentiation (stepdif.m:39-175 +
+            # trydif.m): pick (tp, td) on a candidate grid minimizing a
+            # weighted merit of primal residual, dual residual and
+            # complementarity.  All residual norms are closed-form bilinear
+            # functions of (tp, td) via 9 precomputed inner products, so
+            # the grid search is pure scalar arithmetic; the equal-step
+            # alpha is in the grid, so differentiation can only improve the
+            # merit (the accept/reject role of trydif.m:40-72).
+            dAx = aop.apply(dx)[:m] - b * dtau          # d/dtp of rp
+            u1 = cv_add(aop.adj_y(dy, jnp.zeros(())), dz)   # d/dtd of rd
+            u2 = aop.adj(jnp.concatenate([jnp.zeros((m,), dtau.dtype),
+                                          jnp.reshape(dtau, (1,))]))  # c*dtau
+            rr = jnp.vdot(rp, rp)
+            ra = jnp.vdot(rp, dAx)
+            aa = jnp.vdot(dAx, dAx)
+            dd = cv_dot(rd, rd)
+            d1 = cv_dot(rd, u1)
+            d2 = cv_dot(rd, u2)
+            e11 = cv_dot(u1, u1)
+            e12 = cv_dot(u1, u2)
+            e22 = cv_dot(u2, u2)
+            xz = gap
+            xdz = cv_dot(x, dz)
+            zdx = cv_dot(z, dx)
+            dxdz = cv_dot(dx, dz)
+
+            fr = jnp.asarray([1.0, 0.95, 0.85, 0.7, 0.5])
+            tps = jnp.concatenate([fr * jnp.minimum(gamma * amax_p, 1.0),
+                                   jnp.reshape(alpha, (1,))])
+            tds = jnp.concatenate([fr * jnp.minimum(gamma * amax_d, 1.0),
+                                   jnp.reshape(alpha, (1,))])
+            TP = tps[:, None]
+            TD = tds[None, :]
+            rp2 = rr + 2 * TP * ra + TP**2 * aa
+            rd2 = (dd + 2 * TD * d1 - 2 * TP * d2
+                   + TD**2 * e11 - 2 * TP * TD * e12 + TP**2 * e22)
+            gap_t = (xz + TP * zdx + TD * xdz + TP * TD * dxdz
+                     + (tau + TP * dtau) * (kappa + TD * dkappa))
+            tau_t = tau + TP * dtau
+            w1, w2 = pars.w
+            merit = (w1 * jnp.sqrt(jnp.maximum(rp2, 0.0))
+                     + w2 * jnp.sqrt(jnp.maximum(rd2, 0.0))
+                     + gap_t) / tau_t
+            # only accept pairs that do not increase complementarity beyond
+            # the equal-step value (safeguard, trydif-style)
+            gap_eq = (xz + alpha * (zdx + xdz) + alpha**2 * dxdz
+                      + (tau + alpha * dtau) * (kappa + alpha * dkappa))
+            ok_gap = gap_t <= jnp.maximum(1.25 * gap_eq, 0.0)
+            merit = jnp.where(ok_gap, merit, jnp.inf)
+            flat = jnp.argmin(merit)
+            ti, tj = jnp.unravel_index(flat, merit.shape)
+            tp = tps[ti]
+            td = tds[tj]
+
         new = IPMState(
-            x=jax.tree_util.tree_map(lambda a, d: a + alpha * d, x, dx),
-            y=y + alpha * dy,
-            z=jax.tree_util.tree_map(lambda a, d: a + alpha * d, z, dz),
-            tau=tau + alpha * dtau,
-            kappa=kappa + alpha * dkappa,
+            x=jax.tree_util.tree_map(lambda a, d: a + tp * d, x, dx),
+            y=y + td * dy,
+            z=jax.tree_util.tree_map(lambda a, d: a + td * d, z, dz),
+            tau=tau + tp * dtau,
+            kappa=kappa + td * dkappa,
         )
 
+        alpha = jnp.minimum(tp, td)   # reported step (stall detection)
         res_p = jnp.linalg.norm(rp / rs)
         res_d = cv_norm(rd) * cscale
         cxs = cx / tau * cscale
