@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .linalg_ops import eigh as _eigh_impl, eigvalsh as _eigvalsh_impl
+
 
 # ---------------------------------------------------------------------------
 # Lorentz (second-order cone) family — batched over [n, d]
@@ -135,11 +137,11 @@ def q_maxstep(x: jax.Array, dx: jax.Array) -> jax.Array:
 
 def s_eig(x: jax.Array) -> jax.Array:
     """Batched eigenvalues of symmetric blocks (reference psdeig.m)."""
-    return jnp.linalg.eigvalsh(x)
+    return _eigvalsh_impl(x)
 
 
 def s_eigh(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    lam, q = jnp.linalg.eigh(x)
+    lam, q = _eigh_impl(x)
     return lam, q
 
 
@@ -183,7 +185,7 @@ def s_maxstep_scaled(lam: jax.Array, dxs: jax.Array) -> jax.Array:
     """
     isq = 1.0 / jnp.sqrt(lam)
     m = dxs * isq[..., :, None] * isq[..., None, :]
-    lmin = jnp.min(jnp.linalg.eigvalsh(m), axis=-1)
+    lmin = jnp.min(_eigvalsh_impl(m), axis=-1)
     big = jnp.asarray(jnp.inf, lam.dtype)
     return jnp.where(lmin < 0, -1.0 / jnp.minimum(lmin, -jnp.finfo(lam.dtype).tiny), big)
 

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from . import jordan as jd
+from .linalg_ops import eigh as _eigh
 from .structs import ConeVec
 
 
@@ -85,7 +86,7 @@ def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
     for xs, zs in zip(x.s, z.s):
         lz = jnp.linalg.cholesky(zs)
         m = jnp.einsum("...ba,...bc,...cd->...ad", lz, xs, lz)
-        sig2, qmat = jnp.linalg.eigh(m)
+        sig2, qmat = _eigh(m)
         sig2 = jnp.maximum(sig2, jnp.finfo(sig2.dtype).tiny)
         sig = jnp.sqrt(sig2)
         shalf = jnp.sqrt(sig)

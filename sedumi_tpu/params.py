@@ -131,6 +131,10 @@ class Pars:
     resume: int = 0       # 1: resume from checkpoint_path if it exists
 
     def __post_init__(self) -> None:
+        if isinstance(self.chol, Mapping):
+            self.chol = CholPars(**dict(self.chol))
+        if isinstance(self.cg, Mapping):
+            self.cg = CgPars(**dict(self.cg))
         if self.alg not in (0, 1, 2):
             self.alg = 2
         self.beta = min(0.9, max(0.1, self.beta))

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from . import jordan as jd
+from .linalg_ops import eigvalsh as _eigvalsh
 from .structs import ConeVec
 
 
@@ -40,7 +41,7 @@ def prod_spectrum(x: ConeVec, z: ConeVec) -> jax.Array:
     for xs, zs in zip(x.s, z.s):
         u = jnp.linalg.cholesky(xs)
         m = jnp.einsum("...ba,...bc,...cd->...ad", u, zs, u)
-        parts.append(jnp.linalg.eigvalsh(m).reshape(-1))
+        parts.append(_eigvalsh(m).reshape(-1))
     return jnp.concatenate([p.reshape(-1) for p in parts]) if parts else jnp.zeros(0)
 
 

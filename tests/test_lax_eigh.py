@@ -1,0 +1,45 @@
+"""Jacobi eigensolver accuracy vs LAPACK across sizes/batches/spectra."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sedumi_tpu.lax_eigh import jacobi_eigh, jacobi_eigvalsh
+
+
+@pytest.mark.parametrize("n", [2, 3, 5, 8, 17, 40, 101])
+def test_matches_lapack(rng, n):
+    A = rng.normal(size=(3, n, n))
+    A = jnp.asarray(0.5 * (A + A.transpose(0, 2, 1)))
+    w, V = jacobi_eigh(A)
+    w_ref = np.linalg.eigvalsh(np.asarray(A))
+    np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-11, atol=1e-11)
+    # reconstruction + orthogonality
+    R = np.einsum("bik,bk,bjk->bij", np.asarray(V), np.asarray(w), np.asarray(V))
+    np.testing.assert_allclose(R, np.asarray(A), rtol=0, atol=1e-10 * (1 + np.abs(A).max()))
+    VtV = np.einsum("bki,bkj->bij", np.asarray(V), np.asarray(V))
+    np.testing.assert_allclose(VtV, np.broadcast_to(np.eye(n), (3, n, n)), atol=1e-12)
+
+
+def test_clustered_and_scaled(rng):
+    # clustered eigenvalues and wide dynamic range (IPM endgame regime)
+    n = 30
+    w_true = np.concatenate([
+        np.full(10, 1e-9), np.full(10, 1.0), np.geomspace(1e3, 1e9, 10)
+    ])
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = jnp.asarray((Q * w_true) @ Q.T)[None]
+    w = np.asarray(jacobi_eigvalsh(A))[0]
+    # backward stability bound: |lam_hat - lam| <= O(eps ||A||); the 1e18
+    # dynamic range means small eigenvalues are only absolutely accurate
+    # (LAPACK eigh has the same bound)
+    tol = 50 * np.finfo(np.float64).eps * np.abs(w_true).max()
+    np.testing.assert_allclose(np.sort(w), np.sort(w_true), rtol=1e-8, atol=tol)
+
+
+def test_odd_padding(rng):
+    A = rng.normal(size=(7, 7))
+    A = jnp.asarray(0.5 * (A + A.T))
+    w, V = jacobi_eigh(A)
+    np.testing.assert_allclose(np.asarray(w), np.linalg.eigvalsh(np.asarray(A)),
+                               rtol=1e-12, atol=1e-12)
