@@ -123,6 +123,39 @@ class Bucket:
         return len(self.block_ids)
 
 
+def pack_plan(dims: Sequence[int], cap: int) -> list[list[int]]:
+    """First-fit-decreasing packing of PSD blocks into superblocks.
+
+    TPU-first design: a PSD block of order d occupies (ceil(d/8) x
+    ceil(d/128)) hardware tiles regardless of d, so order-6 blocks waste
+    >100x memory and VPU lanes.  Packing small blocks into a block-diagonal
+    superblock of order <= cap is *exact*: the problem data never couples
+    sub-blocks, so the dual slack stays block-diagonal, the central path of
+    the packed problem coincides with the original's (X = mu Z^{-1} with
+    block-diagonal Z), and every Jordan/spectral kernel is invariant.
+    Blocks of order >= cap stay alone.  Returns lists of block indices;
+    each list is one internal superblock (order = sum of member orders).
+    """
+    order = sorted(range(len(dims)), key=lambda i: (-dims[i], i))
+    bins: list[tuple[int, list[int]]] = []   # (used, ids)
+    out_singletons: list[list[int]] = []
+    for i in order:
+        d = dims[i]
+        if d >= cap:
+            out_singletons.append([i])
+            continue
+        for k, (used, ids) in enumerate(bins):
+            if used + d <= cap:
+                bins[k] = (used + d, ids + [i])
+                break
+        else:
+            bins.append((d, [i]))
+    groups = out_singletons + [ids for _, ids in bins]
+    # deterministic order: by first member's original position
+    groups.sort(key=lambda ids: min(ids))
+    return groups
+
+
 def _make_buckets(dims: Sequence[int]) -> tuple[Bucket, ...]:
     groups: dict[int, list[int]] = {}
     for i, d in enumerate(dims):

@@ -50,20 +50,35 @@ def shard_aop(aop: DenseAOp, mesh: Mesh, axis: str = BLOCK_AXIS) -> DenseAOp:
     """Shard the cone-block axis of the bucketed operator.
 
     Al [m+1, nl] is replicated (LP part is cheap); Aq [m+1, count, d] and
-    As [m+1, count, d, d] are sharded along `count`.
+    As [m+1, count, d, d] are sharded along `count` when it divides the
+    mesh, replicated otherwise.
     """
+    n = mesh.shape[axis]
+
+    def spec(count, trailing):
+        if count and count % n == 0:
+            return P(None, axis, *([None] * trailing))
+        return P()
+
     return DenseAOp(
         Al=_put(aop.Al, mesh, P()),
-        Aq=tuple(_put(a, mesh, P(None, axis, None)) for a in aop.Aq),
-        As=tuple(_put(a, mesh, P(None, axis, None, None)) for a in aop.As),
+        Aq=tuple(_put(a, mesh, spec(a.shape[1], 1)) for a in aop.Aq),
+        As=tuple(_put(a, mesh, spec(a.shape[1], 2)) for a in aop.As),
     )
 
 
 def shard_conevec(v: ConeVec, mesh: Mesh, axis: str = BLOCK_AXIS) -> ConeVec:
+    n = mesh.shape[axis]
+
+    def spec(count, trailing):
+        if count and count % n == 0:
+            return P(axis, *([None] * trailing))
+        return P()
+
     return ConeVec(
         l=_put(v.l, mesh, P()),
-        q=tuple(_put(a, mesh, P(axis, None)) for a in v.q),
-        s=tuple(_put(a, mesh, P(axis, None, None)) for a in v.s),
+        q=tuple(_put(a, mesh, spec(a.shape[0], 1)) for a in v.q),
+        s=tuple(_put(a, mesh, spec(a.shape[0], 2)) for a in v.s),
     )
 
 

@@ -125,6 +125,9 @@ class Pars:
     # --- TPU-native extensions ---
     dtype: str = "float64"
     schur_dtype: str | None = None
+    pack_dim: int = 128   # pack PSD blocks of order < pack_dim into
+    #                       block-diagonal superblocks of order <= pack_dim
+    #                       (exact reformulation; 0 disables — cones.pack_plan)
     mesh_shape: Mapping[str, int] | None = None
     checkpoint_every: int = 0
     checkpoint_path: str | None = None

@@ -42,7 +42,7 @@ from typing import Any
 import numpy as np
 import scipy.sparse as sp
 
-from .cones import ConeSpec, Layout
+from .cones import ConeSpec, Layout, pack_plan
 from .params import Pars
 
 
@@ -309,7 +309,28 @@ def pretransfo(A, b, c, K: ConeSpec, pars: Pars) -> Problem:
     q_int = list(K1.q) + list(K1.r)
     if f1 and not split_free:
         q_int.append(f1 + 1)
-    layout = Layout(l=l_int, q=tuple(q_int), s=tuple(s_keep))
+
+    # --- PSD superblock packing (TPU tiling; see cones.pack_plan) ---
+    # groups[g] = list of kept-block indices merged into superblock g;
+    # sub_place[k] = (group, offset inside the superblock) per kept block.
+    if pars.pack_dim and len(s_keep) > 1:
+        groups = pack_plan(s_keep, int(pars.pack_dim))
+    else:
+        groups = [[i] for i in range(len(s_keep))]
+    s_packed = [sum(s_keep[i] for i in g) for g in groups]
+    sub_place: dict[int, tuple[int, int]] = {}
+    for gi, g in enumerate(groups):
+        o = 0
+        for i in g:
+            sub_place[i] = (gi, o)
+            o += s_keep[i]
+    if any(len(g) > 1 for g in groups):
+        notes.append(
+            f"packed {len(s_keep)} PSD block(s) into {len(groups)} "
+            f"superblock(s) of orders {s_packed}"
+        )
+
+    layout = Layout(l=l_int, q=tuple(q_int), s=tuple(s_packed))
     N_int = layout.N
 
     rows: list[int] = []
@@ -348,11 +369,16 @@ def pretransfo(A, b, c, K: ConeSpec, pars: Pars) -> Problem:
                 vals.append(1.0)
                 diag_l_pos += 1
         else:
-            base = s_offs[s_int_i]
-            for j in range(n2):
-                rows.append(base + j)
-                cols.append(off_b + j)
-                vals.append(1.0)
+            gi, o = sub_place[s_int_i]
+            D = s_packed[gi]
+            base = s_offs[gi]
+            # entry (r, c) of the d x d sub-block (col-major j = c*d + r)
+            # lands at (o+r, o+c) of the D x D superblock
+            jj = np.arange(n2)
+            cc, rr = divmod(jj, d)
+            rows.extend((base + (o + cc) * D + (o + rr)).tolist())
+            cols.extend((off_b + jj).tolist())
+            vals.extend([1.0] * n2)
             s_int_i += 1
         off_b += n2
     int_l_next = diag_l_pos
