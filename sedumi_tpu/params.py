@@ -125,9 +125,13 @@ class Pars:
     # --- TPU-native extensions ---
     dtype: str = "float64"
     schur_dtype: str | None = None
+    optstep: int = 1      # pure-LP Mehrotra-Ye finite-termination projection
     pack_dim: int = 128   # pack PSD blocks of order < pack_dim into
     #                       block-diagonal superblocks of order <= pack_dim
     #                       (exact reformulation; 0 disables — cones.pack_plan)
+    pack_round: int = 64  # round superblock orders up to this multiple with
+    #                       barrier padding (collapses compiled-kernel count;
+    #                       0 disables — transform.pretransfo)
     mesh_shape: Mapping[str, int] | None = None
     checkpoint_every: int = 0
     checkpoint_path: str | None = None

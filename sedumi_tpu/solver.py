@@ -274,6 +274,16 @@ def sedumi(
         # scale back to the original problem
         x_int = res.x / tau
         y_int = res.y / tau
+        # pure-LP finite termination: Mehrotra-Ye optimal-face projection
+        # (optstep.m:42-138; verified guess, kept only on success)
+        if pars.optstep and not prob.layout.q and not prob.layout.s:
+            from .optstep import optstep_lp
+
+            xe, ye = optstep_lp(prob.At, prob.b, prob.c,
+                                x_int, y_int, res.z / tau, pars.eps)
+            if xe is not None:
+                x_int, y_int = xe, ye
+                info["optstep"] = 1
         x_u = tf.posttransfo_x(prob, x_int)
         y_u = tf.posttransfo_y(prob, y_int)
         info.update(feasratio=float((tau - kappa) / (tau + kappa)) if tau + kappa > 0 else 1.0)

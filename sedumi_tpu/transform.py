@@ -317,17 +317,29 @@ def pretransfo(A, b, c, K: ConeSpec, pars: Pars) -> Problem:
         groups = pack_plan(s_keep, int(pars.pack_dim))
     else:
         groups = [[i] for i in range(len(s_keep))]
-    s_packed = [sum(s_keep[i] for i in g) for g in groups]
+    s_content = [sum(s_keep[i] for i in g) for g in groups]
+    # Barrier padding: round superblock orders up to a multiple of
+    # pars.pack_round so distinct superblocks share one bucket (one compiled
+    # kernel pipeline instead of one per odd size).  A padded diagonal
+    # coordinate never appears in A (it is a primal variable with objective
+    # coefficient +1): its dual slack is tau > 0 (strictly interior) and
+    # its primal value is mu/tau -> 0, so the padded problem is an exact
+    # reformulation in the limit and central paths coincide off the pad.
+    rnd = int(pars.pack_round) if pars.pack_dim and len(s_keep) > 1 else 0
+    if rnd:
+        s_packed = [max(-(-D // rnd) * rnd, D) for D in s_content]
+    else:
+        s_packed = list(s_content)
     sub_place: dict[int, tuple[int, int]] = {}
     for gi, g in enumerate(groups):
         o = 0
         for i in g:
             sub_place[i] = (gi, o)
             o += s_keep[i]
-    if any(len(g) > 1 for g in groups):
+    if any(len(g) > 1 for g in groups) or s_packed != s_content:
         notes.append(
             f"packed {len(s_keep)} PSD block(s) into {len(groups)} "
-            f"superblock(s) of orders {s_packed}"
+            f"superblock(s) of orders {s_packed} (content {s_content})"
         )
 
     layout = Layout(l=l_int, q=tuple(q_int), s=tuple(s_packed))
@@ -438,6 +450,17 @@ def pretransfo(A, b, c, K: ConeSpec, pars: Pars) -> Problem:
 
     At_int = sp.csc_matrix(T @ At1)
     c_int = np.asarray(T @ c1).ravel()
+
+    # barrier-padding objective: +1 on every padded diagonal entry
+    if rnd:
+        cnorm = float(np.max(np.abs(c_int))) if c_int.size else 0.0
+        pad_cost = 1.0 + cnorm
+        for gi, D in enumerate(s_packed):
+            D0 = s_content[gi]
+            if D > D0:
+                base = s_offs[gi]
+                jj = np.arange(D0, D)
+                c_int[base + jj * D + jj] = pad_cost
 
     if pars.prep and pars.fid and notes:
         for s_ in notes:
