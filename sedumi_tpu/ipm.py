@@ -53,6 +53,7 @@ from .structs import (
     cv_dot,
     cv_eye,
     cv_neg,
+    cv_zeros,
     cv_norm,
     cv_scale,
     cv_sub,
@@ -125,7 +126,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
     gamma = 0.99  # step fraction to boundary; neighborhood-safe default
     refine_iters = 2
     defect_correct = max(0, int(pars.cg.refine))
-    e_scaled = cv_eye(layout, jnp.dtype(pars.dtype))
+    dtype = jnp.dtype(pars.dtype)
 
     def _pos_step(val, dval):
         """sup {a : val + a*dval >= 0} for scalar val>0."""
@@ -140,6 +141,12 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         # runs on the equilibrated system.
         m = aop.m
         x, y, z, tau, kappa = state
+        # identity/zero elements built INSIDE the trace: closing over a
+        # concrete full-size ConeVec bakes megabytes of literals into the
+        # HLO and triggers XLA's pathological constant-folding pass at
+        # compile time (observed: >10min TPU compiles on OH-sized layouts)
+        e_scaled = cv_eye(layout, dtype)
+        zero_cv = cv_zeros(layout, dtype)
 
         # --- residuals ---------------------------------------------------
         ax = aop.apply(x)
@@ -202,8 +209,8 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 def_p = -rp - (dax[:m] - b * dtau)
                 def_g = -rg - (dax[m] - b @ dy + dkappa)
                 cx_, cy_, cz_, ct_, ck_ = direction_raw(
-                    def_p, cv_scale(e_scaled, 0.0), def_g,
-                    cv_scale(e_scaled, 0.0), jnp.zeros(()),
+                    def_p, zero_cv, def_g,
+                    zero_cv, jnp.zeros(()),
                 )
                 dx = cv_add(dx, cx_)
                 dy = dy + cy_

@@ -83,27 +83,62 @@ def build_dense_aop(
     assert N == layout.N, (N, layout.N)
     aug = sp.hstack(
         [sp.csc_matrix(At), sp.csc_matrix(np.asarray(c, dtype).reshape(-1, 1))]
-    ).tocsr()
+    ).tocoo()
+    nz_row = aug.row.astype(np.int64)
+    nz_col = aug.col.astype(np.int64)
+    nz_val = aug.data.astype(dtype)
 
-    Al = np.asarray(aug[: layout.l, :].todense(), dtype=dtype).T  # [m+1, nl]
+    # one O(nnz) scatter per bucket instead of scipy dense slicing (the
+    # latter cost ~45s on OH-sized data; this is the host marshalling the
+    # reference does in partitA.c/extractA.c)
+    row_bucket = np.full(N, -1, np.int64)   # which bucket a flat row lands in
+    row_pos = np.zeros(N, np.int64)         # flat position inside the bucket
+
+    Al = np.zeros((m + 1, layout.l), dtype)
+    if layout.l:
+        row_bucket[: layout.l] = -2  # LP marker
+        row_pos[: layout.l] = np.arange(layout.l)
 
     q_offs = layout.q_offsets()
-    Aq = []
-    for b in layout.q_buckets:
+    q_rows = []
+    for bi, b in enumerate(layout.q_buckets):
         rows = np.concatenate([q_offs[i] + np.arange(b.dim) for i in b.block_ids]) \
             if b.count else np.zeros(0, np.int64)
-        blk = np.asarray(aug[rows, :].todense(), dtype=dtype)  # [count*d, m+1]
-        Aq.append(jnp.asarray(blk.T.reshape(m + 1, b.count, b.dim)))
+        row_bucket[rows] = bi
+        row_pos[rows] = np.arange(rows.size)
+        q_rows.append(rows)
 
     s_offs = layout.s_offsets()
-    As = []
-    for b in layout.s_buckets:
+    nq = len(layout.q_buckets)
+    for bi, b in enumerate(layout.s_buckets):
         rows = np.concatenate(
             [s_offs[i] + np.arange(b.dim * b.dim) for i in b.block_ids]
         ) if b.count else np.zeros(0, np.int64)
-        blk = np.asarray(aug[rows, :].todense(), dtype=dtype)
-        t = blk.T.reshape(m + 1, b.count, b.dim, b.dim)
-        t = 0.5 * (t + np.swapaxes(t, -1, -2))  # symmetrize (vecsym.c)
+        row_bucket[rows] = nq + bi
+        row_pos[rows] = np.arange(rows.size)
+
+    rb = row_bucket[nz_row]
+    rp = row_pos[nz_row]
+    if layout.l:
+        sel = rb == -2
+        Al[nz_col[sel], rp[sel]] = nz_val[sel]
+
+    Aq = []
+    for bi, b in enumerate(layout.q_buckets):
+        blk = np.zeros((m + 1, b.count * b.dim), dtype)
+        sel = rb == bi
+        blk[nz_col[sel], rp[sel]] = nz_val[sel]
+        Aq.append(jnp.asarray(blk.reshape(m + 1, b.count, b.dim)))
+
+    As = []
+    for bi, b in enumerate(layout.s_buckets):
+        blk = np.zeros((m + 1, b.count * b.dim * b.dim), dtype)
+        sel = rb == nq + bi
+        blk[nz_col[sel], rp[sel]] = nz_val[sel]
+        t = blk.reshape(m + 1, b.count, b.dim, b.dim)
+        for k in range(b.count):  # symmetrize per block to bound peak memory
+            tk = t[:, k]
+            t[:, k] = 0.5 * (tk + np.swapaxes(tk, -1, -2))
         As.append(jnp.asarray(t))
 
     return DenseAOp(Al=jnp.asarray(Al), Aq=tuple(Aq), As=tuple(As))

@@ -43,9 +43,36 @@ def build_schur(aop: DenseAOp, S: Scaling) -> jax.Array:
         M = M - jnp.einsum("mcd,ncd->mn", g, aq)
 
     for as_, r in zip(aop.As, S.s_r):
-        t = jnp.einsum("mkab,kbc->mkac", as_, r)
-        bmat = jnp.einsum("kba,mkbc->mkac", r, t)
-        bf = bmat.reshape(mp1, -1)
-        M = M + bf @ bf.T
+        M = M + _psd_contrib(as_, r)
 
     return M
+
+
+def _psd_contrib(as_: jax.Array, r: jax.Array, chunk: int = 128) -> jax.Array:
+    """B B' with B[m, kdd] = vec(R_k' A[m,k] R_k), congruence computed in
+    m-chunks so the [m+1, k, d, d] temporaries never materialize whole
+    (the full-size intermediates were a 3x HBM blowup on OH-sized data;
+    A itself plus one B buffer is the floor)."""
+    mp1, k, d, _ = as_.shape
+    kdd = k * d * d
+
+    def congr(a):  # [c, k, d, d] -> [c, kdd]
+        t = jnp.einsum("mkab,kbc->mkac", a, r)
+        return jnp.einsum("kba,mkbc->mkac", r, t).reshape(a.shape[0], kdd)
+
+    if mp1 <= 2 * chunk:
+        bf = congr(as_)
+    else:
+        nch = -(-mp1 // chunk)
+
+        def body(i, bf):
+            # clamp the final chunk instead of padding: the overlapped rows
+            # recompute identical values, so the update is consistent
+            st = jnp.minimum(i * chunk, mp1 - chunk)
+            a = jax.lax.dynamic_slice_in_dim(as_, st, chunk, 0)
+            return jax.lax.dynamic_update_slice(bf, congr(a), (st, 0))
+
+        bf = jax.lax.fori_loop(
+            0, nch, body, jnp.zeros((mp1, kdd), as_.dtype)
+        )
+    return bf @ bf.T
