@@ -3,26 +3,28 @@
 TPU-first design (SURVEY.md section 7, items 2-3): instead of the
 reference's sparse At with per-range extraction (partitA.c, extractA.c,
 findblks.c), we materialize A — augmented with the objective c as a final
-row — as dense per-bucket tensors:
+row — as dense per-bucket matrices, stored FLAT:
 
     Al : [m+1, nl]
-    Aq : per q-bucket [m+1, count, d]
-    As : per s-bucket [m+1, count, d, d]   (PSD coefficient matrices,
-                                            symmetrized; vecsym.c analog)
+    Aq : per q-bucket [m+1, count*d]
+    As : per s-bucket [m+1, count*d*d]   (PSD coefficient matrices,
+                                          symmetrized; vecsym.c analog)
 
-so that A x, A'w and the Schur complement A H A' are all plain batched
-matmuls/einsums on the MXU.  The augmented row gives A H c and c' H c for
-free in the same product (the self-dual embedding needs them each
-iteration, sedumi.m:442-466).
+so that A x and A'w are plain 2-D GEMMs.  Storing the natural [m+1, k, d,
+d] tensors instead and contracting with einsum made XLA:TPU stack several
+full-size copies of the operand to batch the dot_generals (observed: an
+8x949x2x320x320 f32 temp = 6.9 GB on OH-sized data); flat 2-D GEMMs have
+no such failure mode.  The Schur congruence reshapes small m-chunks back
+to [c, k, d, d] on the fly (schur._psd_contrib).
 
-Row convention: rows 0..m-1 are the constraints, row m is c.  The augmented
-adjoint maps w=[y; -tau] to A'y - c*tau, exactly the combination appearing
-in the dual residual.
+The augmented row gives A H c and c' H c for free in the same product
+(the self-dual embedding needs them each iteration, sedumi.m:442-466).
+Row convention: rows 0..m-1 are the constraints, row m is c.  The
+augmented adjoint maps w=[y; -tau] to A'y - c*tau, exactly the combination
+appearing in the dual residual.
 """
 
 from __future__ import annotations
-
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,17 +35,29 @@ from .cones import Layout
 from .structs import ConeVec
 
 
-class DenseAOp(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class DenseAOp:
     """Dense bucketed operator for [A; c'].
 
-    A NamedTuple (hence a JAX pytree) so it is always passed as a *traced
-    argument* into jitted functions — closing over large constants triggers
-    XLA constant-folding pathologies and bakes data into executables.
+    A registered pytree whose children are the data matrices (always traced
+    arguments — closing over large constants triggers XLA constant-folding
+    pathologies) and whose aux data are the static bucket shapes.
     """
 
-    Al: jax.Array
-    Aq: tuple[jax.Array, ...]
-    As: tuple[jax.Array, ...]
+    def __init__(self, Al, Aq, As, q_shapes, s_shapes):
+        self.Al = Al
+        self.Aq = tuple(Aq)
+        self.As = tuple(As)
+        self.q_shapes = tuple(tuple(s) for s in q_shapes)  # (count, d)
+        self.s_shapes = tuple(tuple(s) for s in s_shapes)  # (count, d)
+
+    def tree_flatten(self):
+        return ((self.Al, self.Aq, self.As), (self.q_shapes, self.s_shapes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        Al, Aq, As = children
+        return cls(Al, Aq, As, aux[0], aux[1])
 
     @property
     def m(self) -> int:
@@ -53,16 +67,18 @@ class DenseAOp(NamedTuple):
         """[A x ; c'x] — shape [m+1]."""
         out = self.Al @ x.l if self.Al.shape[1] else jnp.zeros(self.m + 1, x.l.dtype)
         for aq, xq in zip(self.Aq, x.q):
-            out = out + jnp.einsum("mcd,cd->m", aq, xq)
+            out = out + aq @ xq.reshape(-1)
         for as_, xs in zip(self.As, x.s):
-            out = out + jnp.einsum("mkab,kab->m", as_, xs)
+            out = out + as_ @ xs.reshape(-1)
         return out
 
     def adj(self, w: jax.Array) -> ConeVec:
         """Adjoint of the augmented operator: w=[y; t] -> A'y + c*t."""
         l = self.Al.T @ w
-        q = tuple(jnp.einsum("mcd,m->cd", aq, w) for aq in self.Aq)
-        s = tuple(jnp.einsum("mkab,m->kab", as_, w) for as_ in self.As)
+        q = tuple((w @ aq).reshape(c, d)
+                  for aq, (c, d) in zip(self.Aq, self.q_shapes))
+        s = tuple((w @ as_).reshape(c, d, d)
+                  for as_, (c, d) in zip(self.As, self.s_shapes))
         return ConeVec(l=l, q=q, s=s)
 
     def adj_y(self, y: jax.Array, minus_tau: jax.Array) -> ConeVec:
@@ -77,7 +93,8 @@ def build_dense_aop(
     """Host: build the dense bucketed [A; c'] from sparse internal data.
 
     At is the internal N x m sparse matrix (columns = constraints, SeDuMi
-    transpose convention), c the internal N-vector.
+    transpose convention), c the internal N-vector.  One O(nnz) scatter per
+    bucket (the marshalling role of partitA.c/extractA.c).
     """
     N, m = At.shape
     assert N == layout.N, (N, layout.N)
@@ -88,9 +105,6 @@ def build_dense_aop(
     nz_col = aug.col.astype(np.int64)
     nz_val = aug.data.astype(dtype)
 
-    # one O(nnz) scatter per bucket instead of scipy dense slicing (the
-    # latter cost ~45s on OH-sized data; this is the host marshalling the
-    # reference does in partitA.c/extractA.c)
     row_bucket = np.full(N, -1, np.int64)   # which bucket a flat row lands in
     row_pos = np.zeros(N, np.int64)         # flat position inside the bucket
 
@@ -100,13 +114,11 @@ def build_dense_aop(
         row_pos[: layout.l] = np.arange(layout.l)
 
     q_offs = layout.q_offsets()
-    q_rows = []
     for bi, b in enumerate(layout.q_buckets):
         rows = np.concatenate([q_offs[i] + np.arange(b.dim) for i in b.block_ids]) \
             if b.count else np.zeros(0, np.int64)
         row_bucket[rows] = bi
         row_pos[rows] = np.arange(rows.size)
-        q_rows.append(rows)
 
     s_offs = layout.s_offsets()
     nq = len(layout.q_buckets)
@@ -124,13 +136,16 @@ def build_dense_aop(
         Al[nz_col[sel], rp[sel]] = nz_val[sel]
 
     Aq = []
+    q_shapes = []
     for bi, b in enumerate(layout.q_buckets):
         blk = np.zeros((m + 1, b.count * b.dim), dtype)
         sel = rb == bi
         blk[nz_col[sel], rp[sel]] = nz_val[sel]
-        Aq.append(jnp.asarray(blk.reshape(m + 1, b.count, b.dim)))
+        Aq.append(jnp.asarray(blk))
+        q_shapes.append((b.count, b.dim))
 
     As = []
+    s_shapes = []
     for bi, b in enumerate(layout.s_buckets):
         blk = np.zeros((m + 1, b.count * b.dim * b.dim), dtype)
         sel = rb == nq + bi
@@ -139,6 +154,8 @@ def build_dense_aop(
         for k in range(b.count):  # symmetrize per block to bound peak memory
             tk = t[:, k]
             t[:, k] = 0.5 * (tk + np.swapaxes(tk, -1, -2))
-        As.append(jnp.asarray(t))
+        As.append(jnp.asarray(blk))
+        s_shapes.append((b.count, b.dim))
 
-    return DenseAOp(Al=jnp.asarray(Al), Aq=tuple(Aq), As=tuple(As))
+    return DenseAOp(Al=jnp.asarray(Al), Aq=Aq, As=As,
+                    q_shapes=q_shapes, s_shapes=s_shapes)

@@ -55,15 +55,19 @@ def shard_aop(aop: DenseAOp, mesh: Mesh, axis: str = BLOCK_AXIS) -> DenseAOp:
     """
     n = mesh.shape[axis]
 
-    def spec(count, trailing):
+    def spec(count):
+        # operators are flat [m+1, count*inner]; splitting the flat column
+        # axis n ways aligns with block boundaries iff n divides count
         if count and count % n == 0:
-            return P(None, axis, *([None] * trailing))
+            return P(None, axis)
         return P()
 
     return DenseAOp(
         Al=_put(aop.Al, mesh, P()),
-        Aq=tuple(_put(a, mesh, spec(a.shape[1], 1)) for a in aop.Aq),
-        As=tuple(_put(a, mesh, spec(a.shape[1], 2)) for a in aop.As),
+        Aq=[_put(a, mesh, spec(c)) for a, (c, _) in zip(aop.Aq, aop.q_shapes)],
+        As=[_put(a, mesh, spec(c)) for a, (c, _) in zip(aop.As, aop.s_shapes)],
+        q_shapes=aop.q_shapes,
+        s_shapes=aop.s_shapes,
     )
 
 

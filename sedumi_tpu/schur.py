@@ -33,31 +33,33 @@ def build_schur(aop: DenseAOp, S: Scaling) -> jax.Array:
     M = jnp.zeros((mp1, mp1), dtype)
 
     if aop.Al.shape[1]:
-        M = M + jnp.einsum("mi,i,ni->mn", aop.Al, S.d_l, aop.Al)
+        M = M + (aop.Al * S.d_l[None, :]) @ aop.Al.T
 
-    for aq, wb, eta2 in zip(aop.Aq, S.q_wb, S.q_eta2):
-        u = jnp.einsum("mcd,cd->mc", aq, wb)
+    for aq, (c, d), wb, eta2 in zip(aop.Aq, aop.q_shapes, S.q_wb, S.q_eta2):
+        aq3 = aq.reshape(mp1, c, d)
+        u = jnp.einsum("mcd,cd->mc", aq3, wb)
         M = M + 2.0 * jnp.einsum("mc,c,nc->mn", u, eta2, u)
-        jsign = jnp.ones(aq.shape[-1], dtype).at[1:].set(-1.0)
-        g = aq * (eta2[None, :, None] * jsign[None, None, :])
-        M = M - jnp.einsum("mcd,ncd->mn", g, aq)
-
-    for as_, r in zip(aop.As, S.s_r):
-        M = M + _psd_contrib(as_, r)
+        jsign = jnp.ones(d, dtype).at[1:].set(-1.0)
+        w = (eta2[:, None] * jsign[None, :]).reshape(-1)   # [c*d]
+        M = M - (aq * w[None, :]) @ aq.T
+    for as_, (k, d), r in zip(aop.As, aop.s_shapes, S.s_r):
+        M = M + _psd_contrib(as_, k, d, r)
 
     return M
 
 
-def _psd_contrib(as_: jax.Array, r: jax.Array, chunk: int = 128) -> jax.Array:
+def _psd_contrib(as_: jax.Array, k: int, d: int, r: jax.Array,
+                 chunk: int = 128) -> jax.Array:
     """B B' with B[m, kdd] = vec(R_k' A[m,k] R_k), congruence computed in
     m-chunks so the [m+1, k, d, d] temporaries never materialize whole
     (the full-size intermediates were a 3x HBM blowup on OH-sized data;
-    A itself plus one B buffer is the floor)."""
-    mp1, k, d, _ = as_.shape
+    A itself plus one B buffer is the floor).  as_ is flat [m+1, k*d*d]."""
+    mp1 = as_.shape[0]
     kdd = k * d * d
 
-    def congr(a):  # [c, k, d, d] -> [c, kdd]
-        t = jnp.einsum("mkab,kbc->mkac", a, r)
+    def congr(a):  # [c, kdd] -> [c, kdd]
+        a4 = a.reshape(a.shape[0], k, d, d)
+        t = jnp.einsum("mkab,kbc->mkac", a4, r)
         return jnp.einsum("kba,mkbc->mkac", r, t).reshape(a.shape[0], kdd)
 
     if mp1 <= 2 * chunk:
