@@ -33,6 +33,15 @@ if not os.environ.get("SEDUMI_TPU_NO_X64"):
 
     jax.config.update("jax_enable_x64", True)
 
+# TPUs compute matmuls at bf16 precision by default (observed rel err
+# 2.6e-3 even for f64 operands on the axon backend); an interior-point
+# method is hopeless at that precision.  HIGHEST costs ~20% on the MXU
+# and gives full f32 accumulation (rel err ~1.5e-7), the base precision
+# the compensated double-float layer (fp.py) builds on.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
 if not os.environ.get("SEDUMI_TPU_NO_COMPILE_CACHE"):
     # Host CPUs are weak relative to the device; persist XLA compilations.
     import jax

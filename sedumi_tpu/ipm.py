@@ -38,6 +38,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import fp
 from . import jordan as jd
 from . import nt
 from . import wregion as wr
@@ -85,6 +86,8 @@ class StepStats(NamedTuple):
     chol_ok: jax.Array
     res_p_abs: jax.Array  # ||Ax - b tau||
     res_d_abs: jax.Array  # ||A'y + z - c tau||
+    dir_defect: jax.Array # ||A dx - b dtau + rp|| / (||rp|| + mu): direction
+    #                       quality gate for precision escalation (host)
 
 
 def cv_jmul(a: ConeVec, b: ConeVec) -> ConeVec:
@@ -109,8 +112,13 @@ def init_state(layout: Layout, aop: DenseAOp, b, normb: float, normc: float,
                     kappa=jnp.asarray(mu0, dtype))
 
 
+def cast_state(state: IPMState, dtype) -> IPMState:
+    """Cast the iterate between precision phases (fp.precision_mode)."""
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), state)
+
+
 def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
-              cscale: float = 1.0):
+              cscale: float = 1.0, dtype=None):
     """Build the jitted one-iteration step function for a fixed layout.
 
     The returned function takes (aop, b, rs, state, reg) — the operator and
@@ -126,7 +134,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
     gamma = 0.99  # step fraction to boundary; neighborhood-safe default
     refine_iters = 2
     defect_correct = max(0, int(pars.cg.refine))
-    dtype = jnp.dtype(pars.dtype)
+    dtype = jnp.dtype(fp.resolve_dtype(pars.dtype) if dtype is None else dtype)
 
     def _pos_step(val, dval):
         """sup {a : val + a*dval >= 0} for scalar val>0."""
@@ -210,7 +218,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 def_g = -rg - (dax[m] - b @ dy + dkappa)
                 cx_, cy_, cz_, ct_, ck_ = direction_raw(
                     def_p, zero_cv, def_g,
-                    zero_cv, jnp.zeros(()),
+                    zero_cv, jnp.zeros((), dtype),
                 )
                 dx = cv_add(dx, cx_)
                 dy = dy + cy_
@@ -248,6 +256,14 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             rc = cv_sub(cv_sub(cv_scale(e_scaled, sigma * mu), lam2), corr)
             r_tk = sigma * mu - tau * kappa - dtaua * dkappaa
         dx, dy, dz, dtau, dkappa = direction(rc, r_tk)
+        # direction-quality gate: an exact Newton direction satisfies
+        # A dx - b dtau = -rp; the relative defect measures how much the
+        # (possibly low-precision) solves corrupted the primal row.  The
+        # host escalates precision when this exceeds its tolerance.
+        dax_full = aop.apply(dx)
+        dir_defect = jnp.linalg.norm(dax_full[:m] - b * dtau + rp) / (
+            jnp.linalg.norm(rp) + mu + jnp.asarray(1e-30, dtype)
+        )
         dxs = nt.scale_x_to_v(S, dx)
         dzs = nt.scale_z_to_v(S, dz)
         amax_p = jnp.minimum(nt.maxstep_scaled(S, dxs), _pos_step(tau, dtau))
@@ -275,8 +291,8 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             # the grid search is pure scalar arithmetic; the equal-step
             # alpha is in the grid, so differentiation can only improve the
             # merit (the accept/reject role of trydif.m:40-72).
-            dAx = aop.apply(dx)[:m] - b * dtau          # d/dtp of rp
-            u1 = cv_add(aop.adj_y(dy, jnp.zeros(())), dz)   # d/dtd of rd
+            dAx = dax_full[:m] - b * dtau               # d/dtp of rp
+            u1 = cv_add(aop.adj_y(dy, jnp.zeros((), dtype)), dz)   # d/dtd of rd
             u2 = aop.adj(jnp.concatenate([jnp.zeros((m,), dtau.dtype),
                                           jnp.reshape(dtau, (1,))]))  # c*dtau
             rr = jnp.vdot(rp, rp)
@@ -293,7 +309,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             zdx = cv_dot(z, dx)
             dxdz = cv_dot(dx, dz)
 
-            fr = jnp.asarray([1.0, 0.95, 0.85, 0.7, 0.5])
+            fr = jnp.asarray([1.0, 0.95, 0.85, 0.7, 0.5], dtype)
             tps = jnp.concatenate([fr * jnp.minimum(gamma * amax_p, 1.0),
                                    jnp.reshape(alpha, (1,))])
             tds = jnp.concatenate([fr * jnp.minimum(gamma * amax_d, 1.0),
@@ -348,6 +364,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             chol_ok=f.ok,
             res_p_abs=res_p,
             res_d_abs=res_d,
+            dir_defect=dir_defect,
         )
         return new, stats
 

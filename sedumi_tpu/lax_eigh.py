@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .fp import eps_for
+
 
 def _round_robin_schedule(n: int) -> np.ndarray:
     """[n-1, n/2, 2] pivot pairs (p<q), round-robin tournament (n even)."""
@@ -66,10 +68,18 @@ def _jacobi(A: jax.Array, sweeps: int, with_vectors: bool, sort: bool):
         app = A[..., p, p]
         aqq = A[..., q, q]
         apq = A[..., p, q]
-        # stable Jacobi rotation annihilating apq
-        small = jnp.abs(apq) <= jnp.finfo(A.dtype).tiny * 1e3
+        # stable Jacobi rotation annihilating apq.  Thresholds must target
+        # the precision the platform ACTUALLY computes at (fp.eps_for):
+        # fake-f64 constants like finfo(f64).tiny flush to zero in f32
+        # compute and the rotation formulas overflow — the NaN source on
+        # the axon TPU backend.
+        ueps = eps_for(A.dtype)
+        small = jnp.abs(apq) <= 0.25 * ueps * (jnp.abs(app) + jnp.abs(aqq))
         theta = (aqq - app) / (2.0 * jnp.where(small, 1.0, apq))
-        t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(1.0 + theta * theta))
+        # |theta| beyond 1/ueps rotates below roundoff; clamping keeps
+        # theta*theta finite in f32 without changing the computed t.
+        theta_c = jnp.clip(theta, -1.0 / ueps, 1.0 / ueps)
+        t = jnp.sign(theta_c) / (jnp.abs(theta_c) + jnp.sqrt(1.0 + theta_c * theta_c))
         t = jnp.where(theta == 0.0, 1.0, t)  # 45-degree rotation when equal
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c

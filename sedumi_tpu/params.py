@@ -85,7 +85,9 @@ class Pars:
     Dense columns: denq (quantile), denf (multiplier) — getdense.m:41-99.
 
     TPU-specific extensions (no reference analog):
-      dtype        -- numeric dtype of the IPM core ("float64"/"float32").
+      dtype        -- numeric dtype of the IPM core ("auto"/"float64"/
+                      "float32"); "auto" picks the widest dtype the backend
+                      actually computes at (fp.backend_has_f64).
       schur_dtype  -- dtype used to *form/factor* the Schur complement; if
                       lower precision than `dtype`, the factor acts as a PCG
                       preconditioner and solves are refined matrix-free in
@@ -123,7 +125,8 @@ class Pars:
     chol: CholPars = field(default_factory=CholPars)
     cg: CgPars = field(default_factory=CgPars)
     # --- TPU-native extensions ---
-    dtype: str = "float64"
+    dtype: str = "auto"   # 'auto': f64 where the backend really computes
+    #                       f64 (CPU), else f32 (TPU) — see fp.resolve_dtype
     schur_dtype: str | None = None
     optstep: int = 1      # pure-LP Mehrotra-Ye finite-termination projection
     pack_dim: int = 128   # pack PSD blocks of order < pack_dim into

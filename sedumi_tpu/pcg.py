@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .chol import CholFactor, chol_solve
-
-_SPLIT = 134217729.0  # 2^27 + 1, Veltkamp splitting constant for f64
+from .fp import split_const
 
 
 def two_sum(a, b):
@@ -33,7 +32,7 @@ def two_sum(a, b):
 
 
 def _split(a):
-    c = _SPLIT * a
+    c = split_const(a.dtype) * a
     hi = c - (c - a)
     lo = a - hi
     return hi, lo

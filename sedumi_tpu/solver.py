@@ -19,10 +19,11 @@ import dataclasses
 import time
 from typing import Any, Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import ipm
+from . import fp, ipm
 from .cones import ConeSpec, Layout
 from .opA import build_dense_aop
 from .params import Pars
@@ -82,11 +83,23 @@ def solve_internal(
     normc = float(np.max(np.abs(c))) if c.size else 0.0
     cscale = 1.0 + normc
     c_s = c / cscale
-    aop = build_dense_aop(At, c_s, layout)
+    # Precision regime (fp.precision_mode): 'mixed' runs f32 iterations
+    # while they progress and escalates to software-f64 for the endgame —
+    # the TPU answer to SURVEY.md hard part 1 (no f64 hardware; emulated
+    # f64 measured 25x slower on dense Cholesky, f32 floor ~1e-4).
+    mode = fp.precision_mode(pars.dtype)
+    if mode == "mixed" and m < 200 and layout.N < 20000:
+        # tiny problems: compiling a second (f32) step costs more than the
+        # f64 iterations save
+        mode = "f64"
+    dt_hi = np.dtype(np.float32 if mode == "f32" else np.float64)
+    dt_lo = np.dtype(np.float32) if mode == "mixed" else dt_hi
+    aop = build_dense_aop(At, c_s, layout, dtype=dt_hi)
     normb_s = float(np.max(np.abs(b))) if m else 0.0
     normc_s = float(np.max(np.abs(c_s))) if c.size else 0.0
 
-    state = ipm.init_state(layout, aop, b, normb_s, normc_s, pars)
+    state = ipm.init_state(layout, aop, b, normb_s, normc_s, pars,
+                           dtype=jnp.dtype(dt_hi))
     # checkpoint/resume (new scope vs the reference, SURVEY.md section 5):
     # the iterate (x, y, z, tau, kappa) is tiny relative to the data.
     it0 = 0
@@ -96,9 +109,29 @@ def solve_internal(
         if _os.path.exists(pars.checkpoint_path):
             state, it0 = _load_checkpoint(pars.checkpoint_path, layout)
             _log(pars, f"resumed from {pars.checkpoint_path} at iter {it0}")
-    step = ipm.make_step(layout, pars, normb, normc, cscale)
-    b_dev = jnp.asarray(b)
-    rs_dev = jnp.asarray(rowscale)
+    bundles = {
+        dt_hi: (
+            ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_hi),
+            aop,
+            jnp.asarray(b, dt_hi),
+            jnp.asarray(rowscale, dt_hi),
+        )
+    }
+    if dt_lo != dt_hi:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dt_lo), t
+        )
+        bundles[dt_lo] = (
+            ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_lo),
+            cast(aop),
+            jnp.asarray(b, dt_lo),
+            jnp.asarray(rowscale, dt_lo),
+        )
+    cur = dt_lo               # current phase dtype; escalates monotonically
+    # f32 stalls once `worst` nears its rounding floor; escalate a bit
+    # before that so no iterations are wasted at the floor.
+    switch_tol = 3e-4
+    since_best_phase = 0
 
     reg = 0.0
     iterlog: list[dict] = []
@@ -113,15 +146,29 @@ def solve_internal(
     while it < pars.maxiter:
         tried = 0
         while True:
-            new_state, st = step(aop, b_dev, rs_dev, state, jnp.asarray(reg, np.float64))
+            step, aop_c, b_dev, rs_dev = bundles[cur]
+            st_in = ipm.cast_state(state, cur) if cur != dt_hi else state
+            new_state, st = step(aop_c, b_dev, rs_dev, st_in,
+                                 jnp.asarray(reg, cur))
             finite = bool(np.isfinite(float(st.mu))) and bool(st.chol_ok) and \
                 np.isfinite(float(st.alpha))
             leaves_ok = all(
                 bool(np.all(np.isfinite(np.asarray(leaf))))
                 for leaf in [np.asarray(new_state.tau), np.asarray(new_state.kappa)]
             )
-            if finite and leaves_ok:
+            # reject low-precision steps whose direction the solves
+            # corrupted (dir_defect: exact Newton satisfies the primal row
+            # to roundoff); escalation re-runs the SAME state in f64
+            quality_ok = cur == dt_hi or float(st.dir_defect) < 0.1
+            if finite and leaves_ok and quality_ok:
                 break
+            if cur != dt_hi:
+                # trouble in the low-precision phase: escalate, don't
+                # regularize (the f64 step usually succeeds unmodified)
+                cur = dt_hi
+                why = "bad direction" if finite and leaves_ok else "non-finite step"
+                _log(pars, f"  escalating to f64 ({why} in f32)")
+                continue
             tried += 1
             reg = max(reg * 100.0, 1e-14)
             if tried > 4:
@@ -129,7 +176,7 @@ def solve_internal(
                 break
         if stop == -1:
             break
-        state = new_state
+        state = ipm.cast_state(new_state, dt_hi) if cur != dt_hi else new_state
         rec = {k: float(getattr(st, k)) for k in st._fields}
         iterlog.append(rec)
         it += 1
@@ -141,6 +188,17 @@ def solve_internal(
         if pars.stopat == it:
             breakpoint()  # pars.stopat debug hook (sedumi.m:430-432)
         worst = max(rec["err_p"], rec["err_d"], rec["gap_rel"])
+        if cur != dt_hi:
+            # low-precision phase management: escalate once f32 nears its
+            # floor or stops improving; its iterations are ~25x cheaper, so
+            # erring on the late side costs little.
+            since_best_phase = 0 if worst < best_worst else since_best_phase + 1
+            if worst <= switch_tol or since_best_phase >= 2 or (
+                rec["alpha"] < 1e-3 and it > 3
+            ):
+                cur = dt_hi
+                since_best = 0
+                _log(pars, f"  escalating to f64 at iter {it} (worst={worst:.1e})")
         if worst < best_worst:
             best_worst = worst
             best_state = state
@@ -154,12 +212,12 @@ def solve_internal(
             break
         # -- plateau: solves at their accuracy floor, no further progress
         # (best-iterate fallback, loopPcg.m:126-146 analog) --
-        if since_best >= 6 and best_worst < 1e-5:
+        if cur == dt_hi and since_best >= 6 and best_worst < 1e-5:
             stop = 1 if best_worst <= pars.eps else -1
             break
         # -- infeasibility: tau -> 0 while kappa stays --
         if rec["tau"] < 1e-12 * max(1.0, rec["kappa"]) or (
-            rec["mu"] < pars.eps**2 and rec["tau"] < 1e-6 * rec["kappa"]
+            rec["mu"] < 1e3 * pars.eps and rec["tau"] < 1e-6 * rec["kappa"]
         ):
             stop = 2  # infeasibility certificate branch
             break
@@ -171,7 +229,13 @@ def solve_internal(
         if pars.checkpoint_every and pars.checkpoint_path and                 it % pars.checkpoint_every == 0:
             _save_checkpoint(pars.checkpoint_path, layout, state, it)
 
-    if best_rec is not None and best_worst < np.inf:
+    # Best-iterate fallback (loopPcg.m:126-146 analog) applies only to the
+    # optimality path: when the run heads to an infeasibility certificate
+    # (tau collapse), the FINAL iterate is the Farkas ray — restoring an
+    # earlier "better residual" iterate would destroy the certificate.
+    tau_collapsed = float(state.tau) < 1e-8 * max(1.0, float(state.kappa))
+    if stop != 2 and not tau_collapsed and best_rec is not None \
+            and best_worst < np.inf:
         state = best_state
         iterlog.append(dict(best_rec))
     st_last = iterlog[-1] if iterlog else dict(

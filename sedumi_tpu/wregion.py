@@ -59,9 +59,10 @@ def iswnbr(w: jax.Array, theta: float):
     ws = jnp.sort(w)
     vs = jnp.sqrt(jnp.maximum(ws, 0.0))
     # suffix sums: suf[k] = sum_{j>=k} ws[j], k = 0..n
-    suf = jnp.concatenate([jnp.cumsum(ws[::-1])[::-1], jnp.zeros(1)])
-    pref_w = jnp.concatenate([jnp.zeros(1), jnp.cumsum(ws)])
-    pref_v = jnp.concatenate([jnp.zeros(1), jnp.cumsum(vs)])
+    z1 = jnp.zeros(1, w.dtype)
+    suf = jnp.concatenate([jnp.cumsum(ws[::-1])[::-1], z1])
+    pref_w = jnp.concatenate([z1, jnp.cumsum(ws)])
+    pref_v = jnp.concatenate([z1, jnp.cumsum(vs)])
     k_arr = jnp.arange(n + 1, dtype=w.dtype)
     h2 = suf / (r - k_arr)
     # validity of prefix size k: (k==0 or ws[k-1] < h2[k]) and (k==n or ws[k] >= h2[k])
@@ -78,7 +79,7 @@ def iswnbr(w: jax.Array, theta: float):
     delta_sqr = alpha * (2.0 - alpha) - (1.0 - alpha) ** 2 * sumdifw / gap
     delta = jnp.sqrt(jnp.maximum(r * delta_sqr, 0.0))
     bad = jnp.min(w) <= 0.0
-    delta = jnp.where(bad, 1e100, delta)
+    delta = jnp.where(bad, jnp.asarray(jnp.inf, w.dtype), delta)
     return delta, h, alpha
 
 
@@ -100,7 +101,7 @@ def widelen_batched(
     trials leave the region — the region is open around t=0, so small steps
     are always safe in exact arithmetic).
     """
-    fracs = jnp.geomspace(1.0, 0.05, n_trials)
+    fracs = jnp.geomspace(1.0, 0.05, n_trials).astype(jnp.asarray(t_max).dtype)
     ts = fracs * t_max
 
     def delta_at(t):
