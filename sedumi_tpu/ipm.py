@@ -117,6 +117,61 @@ def cast_state(state: IPMState, dtype) -> IPMState:
     return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), state)
 
 
+def make_recenter(layout: Layout, dtype=jnp.float64):
+    """Pull a precision-handover iterate strictly back into the cone interior.
+
+    An f32-phase iterate can carry eigenvalues that are zero or slightly
+    negative at f64 resolution (f32 rounding at the cone boundary).  The NT
+    scaling then clamps sigma^2 to tiny, every maxstep collapses to ~0 and
+    the f64 endgame stalls with alpha=0 (observed on arch0).  Shifting by
+    rho*e moves every spectral value up by exactly rho (all three families
+    share lam(e)=1), restoring lam_min >= 1e-2 * mu / (1 + lam_max(other)) —
+    the central-path pairing lam_i(x) lam_i(z) ~ mu.  A no-op (rho=0) for
+    iterates already safely interior.  Residuals move by O(rho) only.
+    """
+
+    @jax.jit
+    def recenter(state: IPMState) -> IPMState:
+        x, y, z, tau, kappa = state
+
+        def lam_range(cv: ConeVec):
+            mins, maxs = [], []
+            if cv.l.size:
+                mins.append(jnp.min(cv.l))
+                maxs.append(jnp.max(cv.l))
+            for xq in cv.q:
+                lam = jd.q_eig(xq)
+                mins.append(jnp.min(lam))
+                maxs.append(jnp.max(lam))
+            for xs in cv.s:
+                lam = jd.s_eig(xs)
+                mins.append(jnp.min(lam))
+                maxs.append(jnp.max(lam))
+            if not mins:
+                zero = jnp.zeros((), dtype)
+                return zero, zero
+            return jnp.min(jnp.stack(mins)), jnp.max(jnp.stack(maxs))
+
+        gap = cv_dot(x, z)
+        mu = (gap + tau * kappa) / (layout.nu + 1.0)
+        xmin, xmax = lam_range(x)
+        zmin, zmax = lam_range(z)
+        floor_x = 1e-2 * mu / (1.0 + zmax)
+        floor_z = 1e-2 * mu / (1.0 + xmax)
+        rho_x = jnp.maximum(jnp.zeros((), dtype), floor_x - xmin)
+        rho_z = jnp.maximum(jnp.zeros((), dtype), floor_z - zmin)
+        e = cv_eye(layout, dtype)
+        return IPMState(
+            x=cv_add(x, cv_scale(e, rho_x)),
+            y=y,
+            z=cv_add(z, cv_scale(e, rho_z)),
+            tau=tau,
+            kappa=jnp.maximum(kappa, 1e-2 * mu / (1.0 + tau)),
+        )
+
+    return recenter
+
+
 def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
               cscale: float = 1.0, dtype=None):
     """Build the jitted one-iteration step function for a fixed layout.

@@ -9,6 +9,7 @@ here; override with SEDUMI_TPU_EIGH=jacobi|xla.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -16,8 +17,32 @@ import jax.numpy as jnp
 
 from .lax_eigh import jacobi_eigh, jacobi_eigvalsh
 
+# Trace-time override (impl_override): the host driver traces some step
+# functions for the TPU (jacobi) and others for the host CPU backend
+# (LAPACK) within one process — the heterogeneous-precision design of
+# solver.py.  The flag is read at TRACE time only; compiled executables
+# are unaffected.
+_FORCE_IMPL: str | None = None
+
+
+@contextlib.contextmanager
+def impl_override(impl: str | None):
+    """Force the eigh implementation ('jacobi' | 'xla' | None) while
+    tracing under this context."""
+    global _FORCE_IMPL
+    prev = _FORCE_IMPL
+    _FORCE_IMPL = impl
+    try:
+        yield
+    finally:
+        _FORCE_IMPL = prev
+
 
 def _use_jacobi() -> bool:
+    if _FORCE_IMPL == "jacobi":
+        return True
+    if _FORCE_IMPL == "xla":
+        return False
     impl = os.environ.get("SEDUMI_TPU_EIGH", "auto")
     if impl == "jacobi":
         return True

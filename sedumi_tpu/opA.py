@@ -88,14 +88,21 @@ class DenseAOp:
 
 
 def build_dense_aop(
-    At: sp.spmatrix, c: np.ndarray, layout: Layout, dtype=np.float64
+    At: sp.spmatrix, c: np.ndarray, layout: Layout, dtype=np.float64,
+    device=None,
 ) -> DenseAOp:
     """Host: build the dense bucketed [A; c'] from sparse internal data.
 
     At is the internal N x m sparse matrix (columns = constraints, SeDuMi
     transpose convention), c the internal N-vector.  One O(nnz) scatter per
     bucket (the marshalling role of partitA.c/extractA.c).
+
+    `device`: optional jax device the arrays are committed to (None = the
+    default backend).  The heterogeneous-precision driver places the f64
+    operator on the host CPU backend (solver.py).
     """
+    _place = (lambda a: jax.device_put(a, device)) if device is not None \
+        else jnp.asarray
     N, m = At.shape
     assert N == layout.N, (N, layout.N)
     aug = sp.hstack(
@@ -141,7 +148,7 @@ def build_dense_aop(
         blk = np.zeros((m + 1, b.count * b.dim), dtype)
         sel = rb == bi
         blk[nz_col[sel], rp[sel]] = nz_val[sel]
-        Aq.append(jnp.asarray(blk))
+        Aq.append(_place(blk))
         q_shapes.append((b.count, b.dim))
 
     As = []
@@ -154,8 +161,8 @@ def build_dense_aop(
         for k in range(b.count):  # symmetrize per block to bound peak memory
             tk = t[:, k]
             t[:, k] = 0.5 * (tk + np.swapaxes(tk, -1, -2))
-        As.append(jnp.asarray(blk))
+        As.append(_place(blk))
         s_shapes.append((b.count, b.dim))
 
-    return DenseAOp(Al=jnp.asarray(Al), Aq=Aq, As=As,
+    return DenseAOp(Al=_place(Al), Aq=Aq, As=As,
                     q_shapes=q_shapes, s_shapes=s_shapes)

@@ -89,16 +89,35 @@ def solve_internal(
     # f64 measured 25x slower on dense Cholesky, f32 floor ~1e-4).
     mode = fp.precision_mode(pars.dtype)
     if mode == "mixed" and m < 200 and layout.N < 20000:
-        # tiny problems: compiling a second (f32) step costs more than the
-        # f64 iterations save
+        # tiny problems: skip the f32 device phase entirely; the f64 phase
+        # below runs on the host CPU backend, where small problems solve
+        # in milliseconds per iteration
         mode = "f64"
     dt_hi = np.dtype(np.float32 if mode == "f32" else np.float64)
     dt_lo = np.dtype(np.float32) if mode == "mixed" else dt_hi
-    aop = build_dense_aop(At, c_s, layout, dtype=dt_hi)
+    # Heterogeneous precision placement (SURVEY.md hard part 1): bulk f32
+    # iterations run on the accelerator; the f64 endgame runs on the HOST
+    # CPU backend (LAPACK eigh / native f64), because accelerator f64 is
+    # software-emulated (measured: a single f64 batched eig at arch0 block
+    # sizes did not finish in 560s, vs milliseconds on host).
+    host_dev = None
+    if dt_hi == np.dtype(np.float64) and jax.default_backend() != "cpu":
+        try:
+            host_dev = jax.devices("cpu")[0]
+        except RuntimeError:
+            host_dev = None
+    if host_dev is not None:
+        aop_hi = build_dense_aop(At, c_s, layout, dtype=dt_hi, device=host_dev)
+        # the accelerator copy is only needed for the f32 phase
+        aop = (build_dense_aop(At, c_s, layout, dtype=dt_lo)
+               if dt_lo != dt_hi else aop_hi)
+    else:
+        aop = build_dense_aop(At, c_s, layout, dtype=dt_hi)
+        aop_hi = aop
     normb_s = float(np.max(np.abs(b))) if m else 0.0
     normc_s = float(np.max(np.abs(c_s))) if c.size else 0.0
 
-    state = ipm.init_state(layout, aop, b, normb_s, normc_s, pars,
+    state = ipm.init_state(layout, aop_hi, b, normb_s, normc_s, pars,
                            dtype=jnp.dtype(dt_hi))
     # checkpoint/resume (new scope vs the reference, SURVEY.md section 5):
     # the iterate (x, y, z, tau, kappa) is tiny relative to the data.
@@ -109,23 +128,42 @@ def solve_internal(
         if _os.path.exists(pars.checkpoint_path):
             state, it0 = _load_checkpoint(pars.checkpoint_path, layout)
             _log(pars, f"resumed from {pars.checkpoint_path} at iter {it0}")
-    bundles = {
-        dt_hi: (
-            ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_hi),
-            aop,
-            jnp.asarray(b, dt_hi),
-            jnp.asarray(rowscale, dt_hi),
-        )
-    }
+    from . import linalg_ops as _lops
+
+    def _host_wrap(fn):
+        # force LAPACK eigh when tracing for the host backend (the
+        # default dispatch keys on the DEFAULT backend, which stays axon)
+        def wrapped(*args):
+            with _lops.impl_override("xla"):
+                return fn(*args)
+        return wrapped
+
+    step_hi = ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_hi)
+    recenter_hi = ipm.make_recenter(layout, jnp.dtype(dt_hi))
+    if host_dev is not None:
+        step_hi = _host_wrap(step_hi)
+        recenter_hi = _host_wrap(recenter_hi)
+        b_hi = jax.device_put(np.asarray(b, dt_hi), host_dev)
+        rs_hi = jax.device_put(np.asarray(rowscale, dt_hi), host_dev)
+    else:
+        b_hi = jnp.asarray(b, dt_hi)
+        rs_hi = jnp.asarray(rowscale, dt_hi)
+    bundles = {dt_hi: (step_hi, aop_hi, b_hi, rs_hi, host_dev)}
+
+    def _to_hi(s):
+        """Precision handover: cast to dt_hi, move to the hi device, and
+        recenter into the cone interior (ipm.make_recenter)."""
+        s = ipm.cast_state(s, dt_hi)
+        if host_dev is not None:
+            s = jax.device_put(s, host_dev)
+        return recenter_hi(s)
     if dt_lo != dt_hi:
-        cast = lambda t: jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, dt_lo), t
-        )
         bundles[dt_lo] = (
             ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_lo),
-            cast(aop),
+            aop,
             jnp.asarray(b, dt_lo),
             jnp.asarray(rowscale, dt_lo),
+            None,
         )
     cur = dt_lo               # current phase dtype; escalates monotonically
     # f32 stalls once `worst` nears its rounding floor; escalate a bit
@@ -146,10 +184,12 @@ def solve_internal(
     while it < pars.maxiter:
         tried = 0
         while True:
-            step, aop_c, b_dev, rs_dev = bundles[cur]
+            step, aop_c, b_dev, rs_dev, dev = bundles[cur]
             st_in = ipm.cast_state(state, cur) if cur != dt_hi else state
+            if dev is not None:
+                st_in = jax.device_put(st_in, dev)
             new_state, st = step(aop_c, b_dev, rs_dev, st_in,
-                                 jnp.asarray(reg, cur))
+                                 np.asarray(reg, cur))
             finite = bool(np.isfinite(float(st.mu))) and bool(st.chol_ok) and \
                 np.isfinite(float(st.alpha))
             leaves_ok = all(
@@ -166,6 +206,7 @@ def solve_internal(
                 # trouble in the low-precision phase: escalate, don't
                 # regularize (the f64 step usually succeeds unmodified)
                 cur = dt_hi
+                state = _to_hi(state)
                 why = "bad direction" if finite and leaves_ok else "non-finite step"
                 _log(pars, f"  escalating to f64 ({why} in f32)")
                 continue
@@ -197,6 +238,7 @@ def solve_internal(
                 rec["alpha"] < 1e-3 and it > 3
             ):
                 cur = dt_hi
+                state = _to_hi(state)
                 since_best = 0
                 _log(pars, f"  escalating to f64 at iter {it} (worst={worst:.1e})")
         if worst < best_worst:
