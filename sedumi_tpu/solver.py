@@ -25,7 +25,7 @@ import numpy as np
 
 from . import fp, ipm
 from .cones import ConeSpec, Layout
-from .opA import build_dense_aop
+from .opA import build_coo_aop
 from .params import Pars
 from .structs import to_flat
 from .userapi import eigK
@@ -46,6 +46,7 @@ class InternalResult:
     cx: float
     by: float
     iterlog: list[dict]
+    profile: dict | None = None
 
 
 def _log(pars: Pars, msg: str) -> None:
@@ -107,12 +108,12 @@ def solve_internal(
         except RuntimeError:
             host_dev = None
     if host_dev is not None:
-        aop_hi = build_dense_aop(At, c_s, layout, dtype=dt_hi, device=host_dev)
+        aop_hi = build_coo_aop(At, c_s, layout, dtype=dt_hi, device=host_dev)
         # the accelerator copy is only needed for the f32 phase
-        aop = (build_dense_aop(At, c_s, layout, dtype=dt_lo)
+        aop = (build_coo_aop(At, c_s, layout, dtype=dt_lo)
                if dt_lo != dt_hi else aop_hi)
     else:
-        aop = build_dense_aop(At, c_s, layout, dtype=dt_hi)
+        aop = build_coo_aop(At, c_s, layout, dtype=dt_hi)
         aop_hi = aop
     normb_s = float(np.max(np.abs(b))) if m else 0.0
     normc_s = float(np.max(np.abs(c_s))) if c.size else 0.0
@@ -217,6 +218,13 @@ def solve_internal(
                 break
         if stop == -1:
             break
+        # `st` measures the residuals of the PRE-step state (the step
+        # computes stats before moving); keep that state around so the
+        # best-iterate bookkeeping below restores the state the record
+        # actually describes (an off-by-one here returns a state one step
+        # PAST the best measured iterate — observed on trto3: best worst
+        # 4e-8 recorded, 3e-4 state returned).
+        prev_state = state
         state = ipm.cast_state(new_state, dt_hi) if cur != dt_hi else new_state
         rec = {k: float(getattr(st, k)) for k in st._fields}
         iterlog.append(rec)
@@ -243,7 +251,7 @@ def solve_internal(
                 _log(pars, f"  escalating to f64 at iter {it} (worst={worst:.1e})")
         if worst < best_worst:
             best_worst = worst
-            best_state = state
+            best_state = prev_state
             best_rec = rec
             since_best = 0
         else:
@@ -251,6 +259,7 @@ def solve_internal(
         # -- convergence --
         if worst <= pars.eps:
             stop = 1
+            state = prev_state   # the state the converged record describes
             break
         # -- plateau: solves at their accuracy floor, no further progress
         # (best-iterate fallback, loopPcg.m:126-146 analog) --
@@ -285,6 +294,13 @@ def solve_internal(
         cx=0.0, by=0.0, tau=1.0, kappa=0.0, alpha=0.0, sigma=0.0,
         chol_ok=1.0, res_p_abs=np.inf, res_d_abs=np.inf,
     )
+    profile = None
+    if pars.profile:
+        from .profiling import profile_iteration
+
+        prof_aop = bundles[dt_lo][1] if dt_lo in bundles else aop
+        profile = profile_iteration(
+            prof_aop, ipm.cast_state(state, dt_lo), np.asarray(reg, dt_lo))
     x_flat = to_flat(layout, state.x)
     z_flat = to_flat(layout, state.z)
     return InternalResult(
@@ -301,6 +317,7 @@ def solve_internal(
         cx=float(st_last["cx"]),
         by=float(st_last["by"]),
         iterlog=iterlog,
+        profile=profile,
     )
 
 
@@ -408,6 +425,8 @@ def sedumi(
         wallsec=t_post - t0,
         cpusec=time.process_time() - cpu0,
     )
+    if res.profile is not None:
+        info["profile"] = res.profile
 
     if pars.errors and not (pinf or dinf):
         info.update(dimacs_errors(A, b, c, K, x_u, y_u))
