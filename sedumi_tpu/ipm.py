@@ -77,21 +77,52 @@ class DenseSchurEngine:
     per PSD bucket) and factors the m x m leading block; solve() refines
     against the dense matrix.  The engine interface (prepare/solve) is what
     the large-m sparse engine (sparse_engine.TileSchurEngine) plugs into.
+
+    pars wiring: cg.qprec selects double-double vs plain-f refinement
+    residuals (loopPcg.m:100-108 quad accumulation role); schur_dtype
+    factors in a lower precision and recovers accuracy by refining against
+    the full-precision matrix (TPU mixed-precision Schur path).
     """
 
-    def __init__(self, refine_iters: int = 2):
+    def __init__(self, refine_iters: int = 2, qprec: int = 1,
+                 schur_dtype=None):
         self.refine_iters = refine_iters
+        self.qprec = qprec
+        self.schur_dtype = jnp.dtype(schur_dtype) if schur_dtype else None
 
     def prepare(self, aop, S, reg):
         m = aop.m
         Maug = build_schur(aop, S)
         ADA = Maug[:m, :m]
-        f = chol_factor(ADA, reg)
+        sd = self.schur_dtype
+        if sd is not None and sd != ADA.dtype:
+            f = chol_factor(ADA.astype(sd), jnp.asarray(reg, sd))
+        else:
+            f = chol_factor(ADA, reg)
         ctx = (ADA, f)
         return ctx, Maug[:m, m], Maug[m, m], f.ok
 
     def solve(self, ctx, rhs):
         ADA, f = ctx
+        if f.L.dtype != ADA.dtype:
+            # low-precision factor: refine in full precision against ADA,
+            # casting only the triangular solves down
+            from .chol import CholFactor, chol_solve, refine_solve
+
+            def solve_lo(b):
+                return chol_solve(f, b.astype(f.L.dtype)).astype(ADA.dtype)
+
+            x = solve_lo(rhs)
+            # an f32 factor loses ~29 bits vs f64: each refinement pass
+            # recovers ~23, so 4 passes reach the f64 floor
+            for _ in range(max(4, self.refine_iters)):
+                x = x + solve_lo(rhs - ADA @ x)
+            return x
+        if not self.qprec:
+            from .chol import refine_solve
+
+            return refine_solve(lambda v: ADA @ v, f, rhs,
+                                iters=self.refine_iters)
         return refine_solve_dd(ADA, f, rhs, iters=self.refine_iters)
 
 
@@ -219,7 +250,10 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
     defect_correct = max(0, int(pars.cg.refine))
     dtype = jnp.dtype(fp.resolve_dtype(pars.dtype) if dtype is None else dtype)
     if engine is None:
-        engine = DenseSchurEngine()
+        sdt = None
+        if pars.schur_dtype and jnp.dtype(pars.schur_dtype) != dtype:
+            sdt = pars.schur_dtype
+        engine = DenseSchurEngine(qprec=int(pars.cg.qprec), schur_dtype=sdt)
 
     def _pos_step(val, dval):
         """sup {a : val + a*dval >= 0} for scalar val>0."""
@@ -332,6 +366,30 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         if pars.alg == 0:
             rc = cv_sub(cv_scale(e_scaled, sigma * mu), lam2)
             r_tk = sigma * mu - tau * kappa
+        elif pars.alg == 1:
+            # v-linearized 2nd-order corrector (Sturm-Zhang; wregion.m:105-110
+            # case 1): expand v(t) = sqrt(eig(D(x)z)) instead of v(t)^2.
+            # Target v + dv = sqrt(sigma mu) e in v-SPACE: with the Newton
+            # complementarity row  v o (dxs+dzs) = rc  and the true update
+            # lam(1)^2 = v^2 + rc + dxs o dzs, choosing
+            #   rc = 2 v o (sqrt(sigma mu) e - v)
+            #        + (t1^2/4) (dxs_a - dzs_a) o (dxs_a - dzs_a)
+            # lands lam(1)^2 on (v+dv)^2 = sigma mu e - (dv-error)^2: the
+            # (dx-dz)^2 term is the affine estimate of dv o dv - dxs o dzs
+            # (the reference's gd1 o dxmdz term, wregion.m:107-110).
+            t1 = jnp.minimum(1.0, amax_a)
+            dxmdz = cv_sub(dxs_a, dzs_a)
+            lam_cv1 = nt.lam_as_conevec(S)
+            root = jnp.sqrt(sigma * mu)
+            rc = cv_add(
+                cv_scale(cv_jmul(
+                    lam_cv1, cv_sub(cv_scale(e_scaled, root), lam_cv1)), 2.0),
+                cv_scale(cv_jmul(dxmdz, dxmdz), 0.25 * t1**2),
+            )
+            vtk = jnp.sqrt(tau * kappa)
+            dtk = (dtaua * jnp.sqrt(kappa / tau)
+                   - dkappaa * jnp.sqrt(tau / kappa))
+            r_tk = 2.0 * vtk * (root - vtk) + 0.25 * t1**2 * dtk**2
         else:
             corr = cv_jmul(dxs_a, dzs_a)
             rc = cv_sub(cv_sub(cv_scale(e_scaled, sigma * mu), lam2), corr)
@@ -417,6 +475,23 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             ti, tj = jnp.unravel_index(flat, merit.shape)
             tp = tps[ti]
             td = tds[tj]
+            if pars.wr:
+                # trydif.m:40-72 — accept the differentiated step only if
+                # the candidate iterate stays in the wide region: recompute
+                # the product spectra at (tp, td) and run the iswnbr
+                # proximity test; reject back to the equal step otherwise.
+                lam_cv2 = nt.lam_as_conevec(S)
+                xs_c = jax.tree_util.tree_map(
+                    lambda a, d_: a + tp * d_, lam_cv2, dxs)
+                zs_c = jax.tree_util.tree_map(
+                    lambda a, d_: a + td * d_, lam_cv2, dzs)
+                wspec = wr.prod_spectrum(xs_c, zs_c)
+                wtk = (tau + tp * dtau) * (kappa + td * dkappa)
+                dl, _, _ = wr.iswnbr(
+                    jnp.concatenate([wspec, wtk[None]]), pars.theta)
+                ok_dif = dl <= pars.beta
+                tp = jnp.where(ok_dif, tp, alpha)
+                td = jnp.where(ok_dif, td, alpha)
 
         new = IPMState(
             x=jax.tree_util.tree_map(lambda a, d: a + tp * d, x, dx),

@@ -71,6 +71,35 @@ def shard_aop(aop: DenseAOp, mesh: Mesh, axis: str = BLOCK_AXIS) -> DenseAOp:
     )
 
 
+def shard_coo_aop(aop, mesh: Mesh, axis: str = BLOCK_AXIS):
+    """Shard a CooAOp's dense buckets over the block axis; COO-represented
+    buckets are replicated (their segment-sum Schur formation is already a
+    single reduction; sharding the gather axis has no win at current scale).
+    """
+    from ..opA import CooAOp
+
+    n = mesh.shape[axis]
+
+    def spec(count):
+        if count and count % n == 0:
+            return P(None, axis)
+        return P()
+
+    parts = []
+    for part, (rep, k, d, G, pad2, T) in zip(aop.s_parts, aop.s_meta):
+        if rep == "dense":
+            parts.append({"mat": _put(part["mat"], mesh, spec(k))})
+        else:
+            parts.append({key: _put(a, mesh, P()) for key, a in part.items()})
+    return CooAOp(
+        Al=_put(aop.Al, mesh, P()),
+        Aq=[_put(a, mesh, spec(c)) for a, (c, _) in zip(aop.Aq, aop.q_shapes)],
+        s_parts=parts,
+        q_shapes=aop.q_shapes,
+        s_meta=aop.s_meta,
+    )
+
+
 def shard_conevec(v: ConeVec, mesh: Mesh, axis: str = BLOCK_AXIS) -> ConeVec:
     n = mesh.shape[axis]
 

@@ -114,11 +114,19 @@ class Pars:
     prep: int = 1
     denq: float = 0.75
     denf: float = 10.0
+    sparse: int = -1      # linear-system backend routing: -1 auto (sparse
+    #                       tile Cholesky for large-m LP/SOC with sparse ADA,
+    #                       dense otherwise; symbchol.m:71-78 crossover role),
+    #                       0 force dense, 1 force sparse
     wr: int = 0           # 1: Sturm-Zhang wide-region step acceptance
                           # (widelen/iswnbr safeguard for hard instances);
                           # 0 (default): plain fraction-to-boundary, which
                           # is faster and equally accurate on the bundled
                           # suite
+    # numtol/bignumtol/numlvl are accepted for pars compatibility; they are
+    # vestigial IN THE REFERENCE ITSELF: defined with defaults at
+    # checkpars.m:135-142 but consumed by no other reference file (verified
+    # by grep over /root/reference/*.m) — so there is no behavior to mirror.
     numtol: float = 5e-7
     bignumtol: float = 0.9
     numlvl: int = 0

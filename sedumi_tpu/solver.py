@@ -47,6 +47,8 @@ class InternalResult:
     by: float
     iterlog: list[dict]
     profile: dict | None = None
+    engine: str = "dense"
+    vplot: dict | None = None
 
 
 def _log(pars: Pars, msg: str) -> None:
@@ -84,6 +86,37 @@ def solve_internal(
     normc = float(np.max(np.abs(c))) if c.size else 0.0
     cscale = 1.0 + normc
     c_s = c / cscale
+    # --- linear-system backend routing (symbchol.m:71-78 crossover role):
+    # LP/SOC problems with large m and a sparse ADA pattern take the tile-
+    # supernodal sparse Cholesky + PCG path; everything else (PSD blocks
+    # make ADA dense; small m makes dense cheapest) stays dense.
+    engine_kind = "dense"
+    sp_plan = None
+    if not layout.s and (pars.sparse == 1
+                         or (pars.sparse == -1 and m >= 800)):
+        from .sparse_engine import plan_sparse_lq
+
+        sp_arrays, sp_meta = plan_sparse_lq(At, c_s, layout, pars)
+        if pars.sparse == 1 or sp_meta["ada_density"] <= 0.35:
+            engine_kind = "sparse"
+            sp_plan = (sp_arrays, sp_meta)
+            _log(pars, f"sparse Schur path: ADA nnz {sp_meta['ada_nnz']} "
+                       f"(density {sp_meta['ada_density']:.3f}), "
+                       f"{sp_meta['Kd']} dense column(s)")
+
+    def _mk_op(dtype, device=None):
+        if engine_kind == "sparse":
+            from .sparse_engine import make_sparse_lq_op
+
+            return make_sparse_lq_op(*sp_plan, dtype=dtype, device=device)
+        return build_coo_aop(At, c_s, layout, dtype=dtype, device=device)
+
+    def _mk_engine():
+        if engine_kind == "sparse":
+            from .sparse_engine import TileSchurEngine
+
+            return TileSchurEngine(pars)
+        return None
     # Precision regime (fp.precision_mode): 'mixed' runs f32 iterations
     # while they progress and escalates to software-f64 for the endgame —
     # the TPU answer to SURVEY.md hard part 1 (no f64 hardware; emulated
@@ -108,15 +141,31 @@ def solve_internal(
         except RuntimeError:
             host_dev = None
     if host_dev is not None:
-        aop_hi = build_coo_aop(At, c_s, layout, dtype=dt_hi, device=host_dev)
+        aop_hi = _mk_op(dt_hi, device=host_dev)
         # the accelerator copy is only needed for the f32 phase
-        aop = (build_coo_aop(At, c_s, layout, dtype=dt_lo)
-               if dt_lo != dt_hi else aop_hi)
+        aop = _mk_op(dt_lo) if dt_lo != dt_hi else aop_hi
     else:
-        aop = build_coo_aop(At, c_s, layout, dtype=dt_hi)
+        aop = _mk_op(dt_hi)
         aop_hi = aop
     normb_s = float(np.max(np.abs(b))) if m else 0.0
     normc_s = float(np.max(np.abs(c_s))) if c.size else 0.0
+
+    # multi-chip: shard the accelerator operator's cone-block axis over the
+    # requested mesh (pars.mesh_shape, e.g. {"blocks": 8}); the host-side
+    # f64 endgame stays replicated.
+    mesh = None
+    if pars.mesh_shape and engine_kind == "dense":
+        from .parallel import make_mesh
+        from .parallel.mesh import shard_coo_aop
+
+        n_req = int(np.prod(list(pars.mesh_shape.values())))
+        if n_req > 1 and len(jax.devices()) >= n_req:
+            mesh = make_mesh(n_req)
+            if aop is not aop_hi:
+                aop = shard_coo_aop(aop, mesh)
+            elif host_dev is None:
+                aop = aop_hi = shard_coo_aop(aop, mesh)
+            _log(pars, f"sharded operator over {n_req}-device mesh")
 
     state = ipm.init_state(layout, aop_hi, b, normb_s, normc_s, pars,
                            dtype=jnp.dtype(dt_hi))
@@ -139,7 +188,8 @@ def solve_internal(
                 return fn(*args)
         return wrapped
 
-    step_hi = ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_hi)
+    step_hi = ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_hi,
+                            engine=_mk_engine())
     recenter_hi = ipm.make_recenter(layout, jnp.dtype(dt_hi))
     if host_dev is not None:
         step_hi = _host_wrap(step_hi)
@@ -160,7 +210,8 @@ def solve_internal(
         return recenter_hi(s)
     if dt_lo != dt_hi:
         bundles[dt_lo] = (
-            ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_lo),
+            ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_lo,
+                          engine=_mk_engine()),
             aop,
             jnp.asarray(b, dt_lo),
             jnp.asarray(rowscale, dt_lo),
@@ -174,6 +225,9 @@ def solve_internal(
 
     reg = 0.0
     iterlog: list[dict] = []
+    vlist: list[np.ndarray] = []
+    ratelist: list[float] = []
+    prev_mu = 0.0
     stop = 0
     it = it0
     stall = 0
@@ -249,6 +303,17 @@ def solve_internal(
                 state = _to_hi(state)
                 since_best = 0
                 _log(pars, f"  escalating to f64 at iter {it} (worst={worst:.1e})")
+        if pars.vplot:
+            # v-plot data (sedumi.m:414,521,752-765): normalized v-space
+            # spectral values after the step + reduction rate.  One extra
+            # batched spectrum per iteration, only when requested.
+            from .wregion import prod_spectrum
+
+            wspec = np.asarray(prod_spectrum(state.x, state.z), np.float64)
+            vlist.append(np.sqrt(np.maximum(wspec, 0.0))
+                         / max(np.sqrt(rec["mu"]), 1e-300))
+            ratelist.append(rec["mu"] / prev_mu if prev_mu else 1.0)
+            prev_mu = rec["mu"]
         if worst < best_worst:
             best_worst = worst
             best_state = prev_state
@@ -295,7 +360,7 @@ def solve_internal(
         chol_ok=1.0, res_p_abs=np.inf, res_d_abs=np.inf,
     )
     profile = None
-    if pars.profile:
+    if pars.profile and engine_kind == "dense":
         from .profiling import profile_iteration
 
         prof_aop = bundles[dt_lo][1] if dt_lo in bundles else aop
@@ -318,6 +383,8 @@ def solve_internal(
         by=float(st_last["by"]),
         iterlog=iterlog,
         profile=profile,
+        engine=engine_kind,
+        vplot={"v": vlist, "rate": ratelist} if pars.vplot else None,
     )
 
 
@@ -378,41 +445,28 @@ def sedumi(
     t_ipm = time.time()
 
     info: dict[str, Any] = {}
-    pinf = dinf = 0
-    numerr = 0
     tau, kappa = res.tau, res.kappa
-    if res.stop == 2 or (tau < 1e-8 * max(1.0, kappa)):
-        # Farkas branch (sedumi.m:612-728): the scaled iterate certifies
-        # infeasibility: b'y > 0 => primal infeasible; c'x < 0 => dual.
-        if res.by > 0:
-            pinf = 1
-        if res.cx < 0:
-            dinf = 1
-        if not (pinf or dinf):
-            numerr = 2
-        x_u = tf.posttransfo_x(prob, res.x)
-        y_u = tf.posttransfo_y(prob, res.y)
+    pinf, dinf, numerr, r0, x_int, y_int, is_farkas = _grade_solution(
+        prob, res, pars)
+    if is_farkas:
+        x_u = tf.posttransfo_x(prob, x_int)
+        y_u = tf.posttransfo_y(prob, y_int)
         info.update(feasratio=-1.0)
     else:
-        # scale back to the original problem
-        x_int = res.x / tau
-        y_int = res.y / tau
         # pure-LP finite termination: Mehrotra-Ye optimal-face projection
         # (optstep.m:42-138; verified guess, kept only on success)
         if pars.optstep and not prob.layout.q and not prob.layout.s:
             from .optstep import optstep_lp
 
             xe, ye = optstep_lp(prob.At, prob.b, prob.c,
-                                x_int, y_int, res.z / tau, pars.eps)
+                                x_int, y_int, res.z / max(tau, 1e-300),
+                                pars.eps)
             if xe is not None:
                 x_int, y_int = xe, ye
                 info["optstep"] = 1
         x_u = tf.posttransfo_x(prob, x_int)
         y_u = tf.posttransfo_y(prob, y_int)
         info.update(feasratio=float((tau - kappa) / (tau + kappa)) if tau + kappa > 0 else 1.0)
-        worst = max(res.err_p, res.err_d, res.gap_rel)
-        if res.stop != 1:
-            numerr = 1 if worst <= pars.bigeps else 2
     t_post = time.time()
 
     info.update(
@@ -420,13 +474,40 @@ def sedumi(
         pinf=pinf,
         dinf=dinf,
         numerr=numerr,
-        r0=res.err_p,
+        r0=r0,
         timing=[t_pre - t0, t_ipm - t_pre, t_post - t_ipm],
         wallsec=t_post - t0,
         cpusec=time.process_time() - cpu0,
     )
     if res.profile is not None:
         info["profile"] = res.profile
+    info["lin_engine"] = res.engine
+    if res.vplot is not None:
+        # the reference renders an interactive v-plot (sedumi.m:752-765);
+        # headless TPU hosts get the data in info plus a saved figure
+        info["vplot"] = res.vplot
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(7, 7))
+            for i, v in enumerate(res.vplot["v"]):
+                ax1.plot(np.full(v.size, i), v, "o", ms=2, color="C0")
+            ax1.axhline(1.0, color="b", lw=0.8)
+            ax1.axhline(pars.theta, color="g", lw=0.8)
+            ax1.set(title="Wide region v-plot", xlabel="iterations",
+                    ylabel="normalized v-values")
+            ax2.plot(res.vplot["rate"])
+            ax2.set(title="Reduction rates", xlabel="iterations",
+                    ylabel="reduction rate", ylim=(0, 1))
+            fig.savefig("sedumi_vplot.png", dpi=110)
+            plt.close(fig)
+            if pars.fid:
+                print("v-plot written to sedumi_vplot.png")
+        except Exception:
+            pass
 
     if pars.errors and not (pinf or dinf):
         info.update(dimacs_errors(A, b, c, K, x_u, y_u))
@@ -437,6 +518,107 @@ def sedumi(
                 + " ".join(f"{e:8.1e}" for e in errs)
             )
     return x_u, y_u, info
+
+
+def _grade_solution(prob, res: InternalResult, pars: Pars):
+    """Reference-grade solution interpretation (sedumi.m:598-728).
+
+    Works on the INTERNAL data (prob.At/b/c, all-real canonical cones):
+    measures the feasible-solution quality relinf = max(|tau b - Ax|,
+    [A'y - tau c]_+-eig) / tau and the Farkas-direction quality
+    reldirinf = min(|Ax|/(-c'x), maxeig(A'y)/b'y); declares infeasibility
+    only when the certificate is GOOD (reldirinf < eps) or clearly better
+    than the feasible interpretation (relinf > max(bigeps, reldirinf)),
+    normalizes certificates by -c'x / b'y, and grades numerr against
+    eps/bigeps exactly as the reference does.
+
+    Returns (pinf, dinf, numerr, r0, x_int, y_int, is_farkas); x_int/y_int
+    are already tau-descaled (feasible) or certificate-normalized (Farkas).
+    """
+    import scipy.sparse as sp
+
+    from .userapi import eigK as _eigK
+
+    At = sp.csc_matrix(prob.At)
+    b = np.asarray(prob.b, np.float64).ravel()
+    c = np.asarray(prob.c, np.float64).ravel()
+    lay = prob.layout
+    K_int = ConeSpec(l=lay.l, q=tuple(lay.q), s=tuple(lay.s))
+
+    def maxeig_pos(v):
+        lab = _eigK(np.asarray(v).ravel(), K_int)
+        return float(np.max(lab)) if lab.size else 0.0
+
+    x = np.asarray(res.x, np.float64)
+    y = np.asarray(res.y, np.float64)
+    tau = float(res.tau)
+    cx = float(c @ x)
+    by = float(b @ y)
+    Ax = At.T @ x
+    Ay = At @ y
+    maxb = float(np.max(np.abs(b))) if b.size else 0.0
+    maxc = float(np.max(np.abs(c))) if c.size else 0.0
+
+    pinf_n = float(np.linalg.norm(tau * b - Ax))
+    dinf_n = maxeig_pos(Ay - tau * c)
+    pinf = dinf = 0
+    numerr = 0
+    r0 = np.inf
+    use_farkas = tau <= 0.0
+    pdirinf = float(np.linalg.norm(Ax))
+    ddirinf = maxeig_pos(Ay)
+    if tau > 0:
+        relinf = max(pinf_n / (1.0 + maxb), dinf_n / (1.0 + maxc)) / tau
+        if relinf > pars.eps:
+            # Farkas quality (sedumi.m:621-639)
+            reldirinf = pdirinf / (-cx) if cx < 0 else np.inf
+            if by > 0:
+                reldirinf = min(reldirinf, ddirinf / by)
+            if reldirinf < pars.eps or relinf > max(pars.bigeps, reldirinf):
+                use_farkas = True
+
+    if not use_farkas:
+        x = x / tau
+        y = y / tau
+        cx, by = cx / tau, by / tau
+        pinf_n, dinf_n = pinf_n / tau, dinf_n / tau
+        normx = float(np.linalg.norm(x))
+        normy = float(np.linalg.norm(y))
+        abscx = float(np.abs(c) @ np.abs(x))
+        if cx <= by:
+            r_gap = 0.0
+        elif cx == 0.0:
+            r_gap = -by / (maxb * normy + 1e-10)
+        elif by == 0.0:
+            r_gap = cx / (maxc * normx + 1e-10)
+        else:
+            r_gap = (cx - by) / (abs(by) + 1e-5 * (1.0 + abscx))
+        r0 = max(r_gap, pinf_n / (1.0 + maxb), dinf_n / (1.0 + maxc))
+        if res.stop != 1:
+            if r0 > pars.bigeps:
+                numerr = 2
+            elif r0 > pars.eps:
+                numerr = 1
+        else:
+            r0 = min(r0, pars.eps)
+        return pinf, dinf, numerr, float(r0), x, y, False
+
+    # Farkas interpretation (sedumi.m:694-728): normalize each certificate
+    # by its objective value and accept only good-quality directions.
+    if cx < 0 and pdirinf < -pars.bigeps * cx:
+        r0 = abs(pdirinf / cx)
+        dinf = 1
+        x = x / (-cx)
+    if by > 0 and ddirinf < pars.bigeps * by:
+        r0 = min(r0, abs(ddirinf / by)) if np.isfinite(r0) else abs(ddirinf / by)
+        pinf = 1
+        y = y / by
+    if pinf + dinf == 0:
+        numerr = 2
+    elif res.stop == -1:
+        # stopped on numerics: grade the certificate quality against eps
+        numerr = 1 if (not np.isfinite(r0) or r0 > pars.eps) else 0
+    return pinf, dinf, numerr, float(r0), x, y, True
 
 
 def dimacs_errors(A, b, c, K, x, y) -> dict[str, Any]:

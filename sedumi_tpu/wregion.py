@@ -117,5 +117,8 @@ def widelen_batched(
     # first (largest-t) candidate that is inside the region
     idx = jnp.argmax(ok)
     any_ok = jnp.any(ok)
-    t = jnp.where(any_ok, ts[idx], ts[-1] * 0.5)
+    # all-trials-outside fallback: halve the candidate whose measured delta
+    # was smallest (not a blind constant — the previous fixed 0.05*t_max/2
+    # fallback had no evidence of being inside the region either)
+    t = jnp.where(any_ok, ts[idx], ts[jnp.argmin(deltas)] * 0.5)
     return t, deltas
