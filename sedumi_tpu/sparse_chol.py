@@ -55,6 +55,13 @@ class TilePlan(NamedTuple):
     # permuted input matrix (lower triangle)
     asm_dst: jnp.ndarray   # [nnz_lower] -> flat index into [nslot*B*B]
     slot_of: dict          # (rowtile, coltile) -> slot   (host only)
+    # elimination-tree level schedule (reference analog: the task
+    # parallelism implicit in blkchol2.c's linked-list ordering, realized
+    # here as per-level BATCHED kernels; host_engine.cc sed_levels):
+    # all tile-columns at one level are independent and factor together.
+    nlev: int = 0
+    lv_cols: jnp.ndarray | None = None   # [nlev, maxc] column ids (pad=ntc)
+    lv_cmask: jnp.ndarray | None = None  # [nlev, maxc] validity
 
 
 def plan_tiles(pattern: sp.spmatrix, B: int = 128,
@@ -134,6 +141,28 @@ def plan_tiles(pattern: sp.spmatrix, B: int = 128,
                 pmask[j, t] = (i, k) in slot_of
                 t += 1
 
+    # level schedule: batch independent tile-columns per etree level.  A
+    # padding row (column id = ntc) is appended to every per-column array:
+    # its diagonal tile is the trash slot (zeros -> chol(lift*I), finite),
+    # its off/update entries are fully masked.
+    lev = native.levels(parent)
+    nlev = int(lev.max()) + 1 if ntc else 0
+    bylev = [np.nonzero(lev == l)[0] for l in range(nlev)]
+    maxc = max((g.size for g in bylev), default=1)
+    lv_cols = np.full((max(nlev, 1), maxc), ntc, np.int32)
+    lv_cmask = np.zeros((max(nlev, 1), maxc), bool)
+    for l, g in enumerate(bylev):
+        lv_cols[l, : g.size] = g
+        lv_cmask[l, : g.size] = True
+    dslot = np.concatenate([dslot, [trash]]).astype(np.int32)
+    oslot = np.vstack([oslot, np.full((1, maxo), trash, np.int32)])
+    omask = np.vstack([omask, np.zeros((1, maxo), bool)])
+    orow = np.vstack([orow, np.zeros((1, maxo), np.int32)])
+    pa = np.vstack([pa, np.full((1, maxp), trash, np.int32)])
+    pb = np.vstack([pb, np.full((1, maxp), trash, np.int32)])
+    pdst = np.vstack([pdst, np.full((1, maxp), trash, np.int32)])
+    pmask = np.vstack([pmask, np.zeros((1, maxp), bool)])
+
     # assembly map for the lower triangle of the permuted matrix
     mask_low = coo.row >= coo.col
     ri, ci = coo.row[mask_low], coo.col[mask_low]
@@ -148,6 +177,8 @@ def plan_tiles(pattern: sp.spmatrix, B: int = 128,
         pdst=jnp.asarray(pdst), pmask=jnp.asarray(pmask),
         orow=jnp.asarray(orow), asm_dst=jnp.asarray(asm_dst),
         slot_of=slot_of,
+        nlev=nlev, lv_cols=jnp.asarray(lv_cols),
+        lv_cmask=jnp.asarray(lv_cmask),
     )
 
 
@@ -214,6 +245,110 @@ def factor_tiles(storage: jnp.ndarray, dslot, oslot, omask, pa, pb, pdst,
         return st
 
     return jax.lax.fori_loop(0, ntc, body, storage)
+
+
+@partial(jax.jit, static_argnames=("nlev", "canceltol"))
+def factor_tiles_lv(storage: jnp.ndarray, dslot, oslot, omask, pa, pb, pdst,
+                    pmask, lv_cols, reg: jnp.ndarray, nlev: int,
+                    canceltol: float = 1e-12) -> jnp.ndarray:
+    """Level-scheduled tile Cholesky: one fori_loop over ETREE LEVELS, each
+    level factoring ALL its independent tile-columns as one batched kernel.
+
+    Same numeric semantics as factor_tiles (diag-add robustness per
+    blkchol.c:176-184) but sequential depth = tree height instead of the
+    number of tile columns — the TPU realization of the supernodal task
+    parallelism that blkchol2.c:522-557 leaves implicit (SURVEY.md
+    section 2.8 'pipeline across elimination-tree levels').
+
+    Correctness of the batching: a column only READS tiles written by its
+    descendants (strictly lower levels) and WRITES (scatter-add) tiles of
+    its ancestors (strictly higher levels); same-level writes to a shared
+    destination commute because scatter-add accumulates.
+    """
+    B = storage.shape[-1]
+    eyeB = jnp.eye(B, dtype=storage.dtype)
+
+    def body(l, st):
+        cols = lv_cols[l]                      # [C] (pad id points at trash)
+        djs = dslot[cols]                      # [C]
+        D = st[djs]
+        D = jnp.tril(D) + jnp.swapaxes(jnp.tril(D, -1), -1, -2)
+        dmax = jnp.max(jnp.abs(jnp.diagonal(D, axis1=-2, axis2=-1)), axis=-1)
+        lift = jnp.maximum(reg, canceltol * dmax) + 1e-300
+        Dl = D + lift[:, None, None] * eyeB
+        LD = jnp.linalg.cholesky(Dl)
+        bad1 = jnp.any(jnp.isnan(LD), axis=(-2, -1))
+        LD2 = jnp.linalg.cholesky(Dl + (dmax + 1.0)[:, None, None] * eyeB)
+        LD = jnp.where(bad1[:, None, None], LD2, LD)
+        bad2 = jnp.any(jnp.isnan(LD), axis=(-2, -1))
+        LDdiag = jnp.sqrt(jnp.abs(jnp.diagonal(Dl, axis1=-2, axis2=-1))
+                          + (dmax + 1.0)[:, None])[..., None] * eyeB
+        LD = jnp.where(bad2[:, None, None], LDdiag, LD)
+        st = st.at[djs].set(LD)
+
+        osl = oslot[cols]                      # [C, maxo]
+        Ts = st[osl]                           # [C, maxo, B, B]
+        X = jax.lax.linalg.triangular_solve(
+            jnp.broadcast_to(LD[:, None], Ts.shape), Ts,
+            left_side=False, lower=True, transpose_a=True,
+        )
+        om = omask[cols]
+        st = st.at[osl].set(jnp.where(om[..., None, None], X, Ts))
+
+        Asrc = st[pa[cols]]                    # [C, maxp, B, B]
+        Bsrc = st[pb[cols]]
+        U = jnp.einsum("cpab,cpdb->cpad", Asrc, Bsrc)
+        U = jnp.where(pmask[cols][..., None, None], U, 0.0)
+        st = st.at[pdst[cols]].add(-U)
+        return st
+
+    return jax.lax.fori_loop(0, max(nlev, 1), body, storage)
+
+
+@partial(jax.jit, static_argnames=("nlev",))
+def solve_tiles_lv(L: jnp.ndarray, rhs: jnp.ndarray, dslot, oslot, omask,
+                   orow, lv_cols, lv_cmask, nlev: int) -> jnp.ndarray:
+    """Level-scheduled triangular solves (fw/bwblkslv.c role), batched per
+    etree level like factor_tiles_lv."""
+    B = L.shape[-1]
+    ntc = rhs.shape[0] // B
+    y = rhs.reshape(ntc, B)
+    # pad row for the trash column id
+    ypad = jnp.concatenate([y, jnp.zeros((1, B), y.dtype)], axis=0)
+
+    def fwd(l, yp):
+        cols = lv_cols[l]
+        LD = L[dslot[cols]]
+        yj = jax.lax.linalg.triangular_solve(
+            LD, yp[cols][..., None], left_side=True, lower=True)[..., 0]
+        yj = jnp.where(lv_cmask[l][:, None], yj, 0.0)
+        yp = yp.at[cols].set(yj)
+        Ts = L[oslot[cols]]                    # [C, maxo, B, B]
+        contrib = jnp.einsum("coab,cb->coa", Ts, yj)
+        contrib = jnp.where(omask[cols][..., None], contrib, 0.0)
+        yp = yp.at[orow[cols]].add(-contrib)
+        return yp
+
+    ypad = jax.lax.fori_loop(0, max(nlev, 1), fwd, ypad)
+
+    def bwd(t, yp):
+        l = nlev - 1 - t
+        cols = lv_cols[l]
+        Ts = L[oslot[cols]]
+        gathered = yp[orow[cols]]              # [C, maxo, B]
+        corr = jnp.einsum(
+            "coab,coa->cb", Ts,
+            jnp.where(omask[cols][..., None], gathered, 0.0))
+        LD = L[dslot[cols]]
+        yj = jax.lax.linalg.triangular_solve(
+            LD, (yp[cols] - corr)[..., None], left_side=True, lower=True,
+            transpose_a=True)[..., 0]
+        yj = jnp.where(lv_cmask[l][:, None], yj, 0.0)
+        yp = yp.at[cols].set(yj)
+        return yp
+
+    ypad = jax.lax.fori_loop(0, max(nlev, 1), bwd, ypad)
+    return ypad[:ntc].reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("ntc",))

@@ -81,6 +81,7 @@ class SparseLqOp:
         "asm", "pad_idx",
         # tile plan arrays (sparse_chol.TilePlan fields)
         "dslot", "oslot", "omask", "pa", "pb", "pdst", "pmask", "orow",
+        "lv_cols", "lv_cmask",
         # permutation (new->old) and inverse, device copies
         "perm", "iperm",
     )
@@ -193,18 +194,19 @@ class TileSchurEngine:
         if meta["npad"]:
             flat = flat.at[arr["pad_idx"]].add(1.0)
         storage = flat.reshape(nslot, B, B)
-        L = sparse_chol.factor_tiles(
+        L = sparse_chol.factor_tiles_lv(
             storage, arr["dslot"], arr["oslot"], arr["omask"], arr["pa"],
-            arr["pb"], arr["pdst"], arr["pmask"], jnp.asarray(reg, dtype),
-            meta["ntc"], canceltol=self.pars.chol.canceltol)
+            arr["pb"], arr["pdst"], arr["pmask"], arr["lv_cols"],
+            jnp.asarray(reg, dtype), meta["nlev"],
+            canceltol=self.pars.chol.canceltol)
         ok = jnp.all(jnp.isfinite(L))
 
         def fsolve(b_m):
             bp = jnp.zeros(meta["ntiles_n"], dtype).at[
                 jnp.arange(m)].set(b_m[arr["perm"]])
-            x = sparse_chol.solve_tiles(
+            x = sparse_chol.solve_tiles_lv(
                 L, bp, arr["dslot"], arr["oslot"], arr["omask"],
-                arr["orow"], meta["ntc"])
+                arr["orow"], arr["lv_cols"], arr["lv_cmask"], meta["nlev"])
             return x[:m][arr["iperm"]]
 
         # --- dense columns: Woodbury/capacitance --------------------------
@@ -501,13 +503,14 @@ def plan_sparse_lq(At: sp.spmatrix, c: np.ndarray, layout: Layout,
         omask=np.asarray(plan.omask), pa=np.asarray(plan.pa),
         pb=np.asarray(plan.pb), pdst=np.asarray(plan.pdst),
         pmask=np.asarray(plan.pmask), orow=np.asarray(plan.orow),
+        lv_cols=np.asarray(plan.lv_cols), lv_cmask=np.asarray(plan.lv_cmask),
         perm=plan.perm.astype(np.int32), iperm=iperm0.astype(np.int32),
     )
     meta = dict(
         m=m, nl=nl, nflat=nl + int(sum(layout.q)), q_shapes=q_shapes,
         nnz_l=int(nnz_l), n_uflat=int(uoff), Kd=len(ud_cols),
         n_udu=len(udu), B=B, ntc=plan.ntc, nslot=plan.nslot,
-        ntiles_n=plan.n, npad=int(plan.n - m),
+        ntiles_n=plan.n, npad=int(plan.n - m), nlev=plan.nlev,
         ada_nnz=int(pattern.nnz), ada_density=float(pattern.nnz) / max(m * m, 1),
     )
     return arrays, meta

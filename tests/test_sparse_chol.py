@@ -76,3 +76,51 @@ def test_pcg_with_tile_preconditioner():
               jnp.asarray(b), jnp.zeros(n), maxiter=60, restol=1e-12)
     x_ref = spla.spsolve(M, b)
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("n,density,B,seed", [
+    (120, 0.06, 16, 4),
+    (300, 0.02, 64, 5),
+])
+def test_level_scheduled_factor_matches_sequential(n, density, B, seed):
+    """factor_tiles_lv (etree-level batched) must produce the same factor
+    and solves as the sequential factor_tiles."""
+    import jax.numpy as jnp
+
+    from sedumi_tpu.sparse_chol import (
+        factor_tiles, factor_tiles_lv, plan_tiles, solve_tiles,
+        solve_tiles_lv, SparseCholesky,
+    )
+
+    M = _random_spd(n, density, seed)
+    f = SparseCholesky(M, B=B)
+    pl = f.plan
+    L_seq = f.factor(M)            # sequential factor_tiles path
+    # same storage, level-scheduled
+    Mp = sp.csc_matrix(M)[pl.perm][:, pl.perm].tocoo()
+    mask = Mp.row >= Mp.col
+    ri, ci = Mp.row[mask], Mp.col[mask]
+    st = np.asarray([pl.slot_of[(int(r) // B, int(c) // B)]
+                     for r, c in zip(ri, ci)], np.int64)
+    dst = st * (B * B) + (ri % B).astype(np.int64) * B + (ci % B)
+    flat = jnp.zeros(pl.nslot * B * B).at[jnp.asarray(dst)].add(
+        jnp.asarray(Mp.data[mask]))
+    if pl.n > n:
+        pad = np.arange(n, pl.n)
+        pst = np.asarray([pl.slot_of[(int(i) // B, int(i) // B)]
+                          for i in pad], np.int64)
+        flat = flat.at[jnp.asarray(pst * (B * B) + (pad % B) * B + (pad % B))].add(1.0)
+    L_lv = factor_tiles_lv(flat.reshape(pl.nslot, B, B), pl.dslot, pl.oslot,
+                           pl.omask, pl.pa, pl.pb, pl.pdst, pl.pmask,
+                           pl.lv_cols, jnp.asarray(0.0), pl.nlev)
+    # compare the real (non-trash) tiles
+    np.testing.assert_allclose(np.asarray(L_lv[:-1]), np.asarray(L_seq[:-1]),
+                               rtol=1e-10, atol=1e-10)
+    rng = np.random.default_rng(seed)
+    b = rng.normal(size=pl.n)
+    x_seq = solve_tiles(L_seq, jnp.asarray(b), pl.dslot, pl.oslot, pl.omask,
+                        pl.orow, pl.ntc)
+    x_lv = solve_tiles_lv(L_lv, jnp.asarray(b), pl.dslot, pl.oslot, pl.omask,
+                          pl.orow, pl.lv_cols, pl.lv_cmask, pl.nlev)
+    np.testing.assert_allclose(np.asarray(x_lv), np.asarray(x_seq),
+                               rtol=1e-9, atol=1e-10)
