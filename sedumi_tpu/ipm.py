@@ -85,17 +85,28 @@ class DenseSchurEngine:
     """
 
     def __init__(self, refine_iters: int = 2, qprec: int = 1,
-                 schur_dtype=None):
+                 schur_dtype=None, factor_dtype=None):
         self.refine_iters = refine_iters
         self.qprec = qprec
         self.schur_dtype = jnp.dtype(schur_dtype) if schur_dtype else None
+        # factor_dtype HIGHER than the formation dtype: factor the (compute-
+        # dtype-formed) matrix exactly in f64 — on TPU the emulated-f64
+        # dense Cholesky of an m<=1000 matrix costs ~60ms, and removing the
+        # low-precision FACTORIZATION error (growth-factor amplified) is
+        # what keeps the hybrid endgame's preconditioner useful at
+        # cond >> 1/eps32; only the formation's entrywise rounding remains.
+        self.factor_dtype = jnp.dtype(factor_dtype) if factor_dtype else None
 
     def prepare(self, aop, S, reg):
         m = aop.m
         Maug = build_schur(aop, S)
         ADA = Maug[:m, :m]
         sd = self.schur_dtype
-        if sd is not None and sd != ADA.dtype:
+        fd = self.factor_dtype
+        if fd is not None and fd != ADA.dtype:
+            ADA = ADA.astype(fd)
+            f = chol_factor(ADA, jnp.asarray(reg, fd))
+        elif sd is not None and sd != ADA.dtype:
             f = chol_factor(ADA.astype(sd), jnp.asarray(reg, sd))
         else:
             f = chol_factor(ADA, reg)
@@ -104,6 +115,14 @@ class DenseSchurEngine:
 
     def solve(self, ctx, rhs):
         ADA, f = ctx
+        if ADA.dtype != rhs.dtype:
+            # high-precision factor of the compute-dtype-formed matrix:
+            # solve exactly in the factor dtype, hand back a compute-dtype
+            # direction (the defect-correction loop measures true f64
+            # defects, so representation rounding here is benign)
+            x = refine_solve_dd(ADA, f, rhs.astype(ADA.dtype),
+                                iters=self.refine_iters)
+            return x.astype(rhs.dtype)
         if f.L.dtype != ADA.dtype:
             # low-precision factor: refine in full precision against ADA,
             # casting only the triangular solves down
@@ -114,8 +133,8 @@ class DenseSchurEngine:
 
             x = solve_lo(rhs)
             # an f32 factor loses ~29 bits vs f64: each refinement pass
-            # recovers ~23, so 4 passes reach the f64 floor
-            for _ in range(max(4, self.refine_iters)):
+            # recovers up to ~23 (less when cond(M) eats into them)
+            for _ in range(max(6, self.refine_iters)):
                 x = x + solve_lo(rhs - ADA @ x)
             return x
         if not self.qprec:
@@ -230,12 +249,15 @@ def make_recenter(layout: Layout, dtype=jnp.float64):
 
 
 def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
-              cscale: float = 1.0, dtype=None, engine=None):
+              cscale: float = 1.0, dtype=None, engine=None,
+              compute_dtype=None):
     """Build the jitted one-iteration step function for a fixed layout.
 
-    The returned function takes (aop, b, rs, state, reg) — the operator and
-    data are traced arguments, never closed-over constants (closing over
-    large arrays triggers XLA constant-folding pathologies at compile time).
+    The returned function takes (aop, b, rs, state, reg, aop_lo=None) — the
+    operator and data are traced arguments, never closed-over constants
+    (closing over large arrays triggers XLA constant-folding pathologies at
+    compile time).  `aop` carries the state dtype; the optional `aop_lo`
+    the compute dtype (defaults to aop when they coincide).
 
     The solver runs on row-equilibrated A,b and objective-normalized
     c/cscale; `normb`/`normc` are the ORIGINAL-data norms and all reported
@@ -244,16 +266,69 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
 
     `engine` is the linear-system backend (prepare/solve contract of
     DenseSchurEngine); None selects the dense engine.
+
+    HYBRID PRECISION (compute_dtype < dtype, the on-device endgame —
+    SURVEY.md hard part 1): the STATE, residuals, and direction
+    accumulation live in `dtype` (f64 storage; the needed ops are
+    elementwise/COO and cheap even under TPU f64 emulation), while the
+    expensive kernels — NT scaling eigh, Schur formation, factorization,
+    triangular solves — run in `compute_dtype` (f32 on the MXU).  Inexact
+    f32 directions are repaired by defect-correction against the exact f64
+    residual operator on ALL of the primal, dual and gap rows, so the
+    Newton fixed point — and hence the achievable accuracy — is set by the
+    f64 residuals, not by the f32 linear algebra (the quad-accumulation
+    idea of loopPcg.m/quadadd.c lifted to the whole IPM step).
     """
     nu = layout.nu
     gamma = 0.99  # step fraction to boundary; neighborhood-safe default
     defect_correct = max(0, int(pars.cg.refine))
     dtype = jnp.dtype(fp.resolve_dtype(pars.dtype) if dtype is None else dtype)
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else dtype
+    hybrid = cd != dtype
+    if hybrid:
+        defect_correct = max(defect_correct, 2)
     if engine is None:
         sdt = None
-        if pars.schur_dtype and jnp.dtype(pars.schur_dtype) != dtype:
+        if pars.schur_dtype and jnp.dtype(pars.schur_dtype) != cd:
             sdt = pars.schur_dtype
         engine = DenseSchurEngine(qprec=int(pars.cg.qprec), schur_dtype=sdt)
+    if hybrid and isinstance(engine, DenseSchurEngine) \
+            and engine.factor_dtype is None:
+        engine.factor_dtype = dtype
+
+    def lo(t):
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, cd), t)
+
+    def hi(t):
+        return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), t)
+
+    eps_cd = float(jnp.finfo(cd).eps)
+
+    def lo_safe(cv: ConeVec) -> ConeVec:
+        """Cast an interior f64 iterate to the compute dtype WITHOUT losing
+        positivity: an endgame eigenvalue lam_min ~ mu can sit below the
+        compute dtype's resolution of lam_max, so the cast alone can make
+        the block indefinite (observed: NaN from cholesky(z) at mu~1e-7).
+        Shifting each block by ~4 eps_cd * lam_max keeps it PD in cd; the
+        shift perturbs only the SCALING (the f64 residual path never sees
+        it), i.e. an inexact-Newton direction, which defect-correction
+        absorbs."""
+        if not hybrid:
+            return lo(cv)
+        l = lo(cv.l)     # LP: f32 cast of a positive number stays positive
+        q = []
+        for xq in cv.q:
+            x32 = lo(xq)
+            q.append(x32.at[..., 0].add(4 * eps_cd * x32[..., 0]))
+        s = []
+        for xs in cv.s:
+            x32 = lo(xs)
+            d = x32.shape[-1]
+            mx = jnp.max(jnp.abs(jnp.diagonal(x32, axis1=-2, axis2=-1)),
+                         axis=-1)
+            idx = jnp.arange(d)
+            s.append(x32.at[..., idx, idx].add(4 * eps_cd * mx[..., None]))
+        return ConeVec(l=l, q=tuple(q), s=tuple(s))
 
     def _pos_step(val, dval):
         """sup {a : val + a*dval >= 0} for scalar val>0."""
@@ -261,21 +336,23 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         return jnp.where(dval < 0, -val / dval, big)
 
     @functools.partial(jax.jit, donate_argnums=())
-    def step(aop: DenseAOp, b: jax.Array, rs: jax.Array, state: IPMState,
-             reg: jax.Array):
+    def step(aop, b: jax.Array, rs: jax.Array, state: IPMState,
+             reg: jax.Array, aop_lo=None):
         # rs: row-equilibration scales; convergence is measured on the
         # ORIGINAL row scaling (rp_orig = rp / rs) while all linear algebra
         # runs on the equilibrated system.
+        if aop_lo is None:
+            aop_lo = aop
         m = aop.m
         x, y, z, tau, kappa = state
         # identity/zero elements built INSIDE the trace: closing over a
         # concrete full-size ConeVec bakes megabytes of literals into the
         # HLO and triggers XLA's pathological constant-folding pass at
         # compile time (observed: >10min TPU compiles on OH-sized layouts)
-        e_scaled = cv_eye(layout, dtype)
-        zero_cv = cv_zeros(layout, dtype)
+        e_scaled = cv_eye(layout, cd)
+        zero_cv = cv_zeros(layout, cd)
 
-        # --- residuals ---------------------------------------------------
+        # --- residuals (state dtype: exact fixed point) --------------------
         ax = aop.apply(x)
         Ax, cx = ax[:m], ax[m]
         rp = Ax - b * tau
@@ -285,69 +362,107 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         gap = cv_dot(x, z)
         mu = (gap + tau * kappa) / (nu + 1.0)
 
-        # --- scaling + Schur ---------------------------------------------
-        S = nt.compute_scaling(x, z)
-        ctx, ahc, chc, fac_ok = engine.prepare(aop, S, reg)
+        # --- scaling + Schur (compute dtype) -------------------------------
+        S = nt.compute_scaling(lo_safe(x), lo_safe(z))
+        ctx, ahc, chc, fac_ok = engine.prepare(aop_lo, S, lo(reg))
+        tau_l, kappa_l = lo(tau), lo(kappa)
+        b_l = lo(b)
 
         def solve(rhs):
             return engine.solve(ctx, rhs)
 
-        u = solve(b + ahc)
-        D = chc + b @ u - ahc @ u + kappa / tau
+        u = solve(b_l + ahc)
+        D = chc + b_l @ u - ahc @ u + kappa_l / tau_l
 
         def direction_raw(rp_rhs, rd_rhs: ConeVec, rg_rhs, rc: ConeVec, r_tk):
-            """Newton direction for general right-hand sides:
+            """Newton direction for general right-hand sides (all in the
+            compute dtype):
                  A dx - b dtau                  = rp_rhs
                  A'dy + dz - c dtau             = rd_rhs
                  c'dx - b'dy + dkappa           = rg_rhs
                  dx + H dz                      = W(lam^-1 o rc)
                  tau dkappa + kappa dtau        = r_tk
             (sddir.m analog).  Dual and complementarity rows are satisfied
-            exactly by construction; primal/gap rows up to solve accuracy.
+            to compute-dtype accuracy; primal/gap rows to solve accuracy.
             """
             rcx = nt.scale_v_to_x(S, nt.lam_inv_jmul(S, rc))
             hrd = nt.H_apply(S, rd_rhs)
             t = cv_sub(rcx, hrd)
-            att = aop.apply(t)
+            att = aop_lo.apply(t)
             v = solve(rp_rhs - att[:m])
-            num = -rg_rhs + r_tk / tau + att[m] - (b - ahc) @ v
+            num = -rg_rhs + r_tk / tau_l + att[m] - (b_l - ahc) @ v
             dtau = num / D
             dy = v + dtau * u
-            g = aop.adj_y(dy, -dtau)            # A'dy - c dtau
+            g = aop_lo.adj_y(dy, -dtau)         # A'dy - c dtau
             dz = cv_sub(rd_rhs, g)
             dx = cv_sub(rcx, nt.H_apply(S, dz))
-            dkappa = (r_tk - kappa * dtau) / tau
+            dkappa = (r_tk - kappa_l * dtau) / tau_l
             return dx, dy, dz, dtau, dkappa
 
         def direction(rc: ConeVec, r_tk):
             """Direction for the full current residuals, polished by
-            defect-correction passes: the Schur solve's relative error
-            re-injects primal residual (the stall floor of plain Mehrotra);
-            re-solving with the primal/gap equation defects as rhs drives
-            the direction defect to O(solve_err^2) (the role of the
-            reference's PCG refine restarts, wrapPcg.m:100-130)."""
-            dx, dy, dz, dtau, dkappa = direction_raw(-rp, cv_neg(rd), -rg, rc, r_tk)
-            for _ in range(defect_correct):
+            defect-correction passes in the STATE dtype: the compute-dtype
+            solves re-inject residual on every row; re-solving with the
+            exactly-evaluated equation defects as rhs drives the direction
+            defect down by the solve accuracy each pass (the role of the
+            reference's PCG refine restarts, wrapPcg.m:100-130).  In hybrid
+            mode this is what makes f32 linear algebra deliver f64-quality
+            Newton directions.  Each pass is MONOTONE: a correction is kept
+            only if it reduced the measured defect (a near-singular
+            compute-dtype factor can amplify instead — observed 1e12
+            defect spikes without this guard)."""
+
+            def defects(dx, dy, dz, dtau, dkappa):
                 dax = aop.apply(dx)
                 def_p = -rp - (dax[:m] - b * dtau)
                 def_g = -rg - (dax[m] - b @ dy + dkappa)
-                cx_, cy_, cz_, ct_, ck_ = direction_raw(
-                    def_p, zero_cv, def_g,
-                    zero_cv, jnp.zeros((), dtype),
-                )
-                dx = cv_add(dx, cx_)
-                dy = dy + cy_
-                dz = cv_add(dz, cz_)
-                dtau = dtau + ct_
-                dkappa = dkappa + ck_
+                if hybrid:
+                    # dual-row defect (exact-by-construction only in the
+                    # compute dtype): A'dy + dz - c dtau + rd
+                    def_d = cv_neg(
+                        cv_add(rd, cv_add(aop.adj_y(dy, -dtau), dz)))
+                else:
+                    def_d = zero_cv
+                nrm = (jnp.linalg.norm(def_p) + jnp.abs(def_g)
+                       + (cv_norm(def_d) if hybrid else 0.0))
+                return def_p, def_d, def_g, nrm
+
+            d0 = direction_raw(lo(-rp), lo(cv_neg(rd)), lo(-rg), rc, r_tk)
+            dx, dy, dz, dtau, dkappa = hi(d0)
+            for _ in range(defect_correct):
+                def_p, def_d, def_g, nrm_old = defects(dx, dy, dz, dtau,
+                                                       dkappa)
+                cx_, cy_, cz_, ct_, ck_ = hi(direction_raw(
+                    lo(def_p), lo(def_d), lo(def_g),
+                    zero_cv, jnp.zeros((), cd),
+                ))
+                dx2 = cv_add(dx, cx_)
+                dy2 = dy + cy_
+                dz2 = cv_add(dz, cz_)
+                dtau2 = dtau + ct_
+                dkappa2 = dkappa + ck_
+                if hybrid:
+                    _, _, _, nrm_new = defects(dx2, dy2, dz2, dtau2, dkappa2)
+                    keep = nrm_new < nrm_old
+                else:
+                    # full-precision solves: corrections contract
+                    # unconditionally; skip the extra operator applies
+                    keep = jnp.asarray(True)
+                pick = lambda a2, a: jax.tree_util.tree_map(
+                    lambda u, v: jnp.where(keep, u, v), a2, a)
+                dx, dz = pick(dx2, dx), pick(dz2, dz)
+                dy = jnp.where(keep, dy2, dy)
+                dtau = jnp.where(keep, dtau2, dtau)
+                dkappa = jnp.where(keep, dkappa2, dkappa)
             return dx, dy, dz, dtau, dkappa
 
         lam2 = nt.lam_sq(S)
 
         # --- affine (predictor) ------------------------------------------
-        dxa, dya, dza, dtaua, dkappaa = direction(cv_neg(lam2), -tau * kappa)
-        dxs_a = nt.scale_x_to_v(S, dxa)
-        dzs_a = nt.scale_z_to_v(S, dza)
+        dxa, dya, dza, dtaua, dkappaa = direction(
+            cv_neg(lam2), jnp.asarray(-tau * kappa, cd))
+        dxs_a = nt.scale_x_to_v(S, lo(dxa))
+        dzs_a = nt.scale_z_to_v(S, lo(dza))
         amax_a = jnp.minimum(
             jnp.minimum(nt.maxstep_scaled(S, dxs_a), nt.maxstep_scaled(S, dzs_a)),
             jnp.minimum(_pos_step(tau, dtaua), _pos_step(kappa, dkappaa)),
@@ -362,10 +477,12 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         mu_aff = gap_aff / (nu + 1.0)
         sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
 
+        sm_l = jnp.asarray(sigma * mu, cd)   # corrector target, compute dtype
+
         # --- combined (corrector) ----------------------------------------
         if pars.alg == 0:
-            rc = cv_sub(cv_scale(e_scaled, sigma * mu), lam2)
-            r_tk = sigma * mu - tau * kappa
+            rc = cv_sub(cv_scale(e_scaled, sm_l), lam2)
+            r_tk = sm_l - jnp.asarray(tau * kappa, cd)
         elif pars.alg == 1:
             # v-linearized 2nd-order corrector (Sturm-Zhang; wregion.m:105-110
             # case 1): expand v(t) = sqrt(eig(D(x)z)) instead of v(t)^2.
@@ -377,10 +494,10 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             # lands lam(1)^2 on (v+dv)^2 = sigma mu e - (dv-error)^2: the
             # (dx-dz)^2 term is the affine estimate of dv o dv - dxs o dzs
             # (the reference's gd1 o dxmdz term, wregion.m:107-110).
-            t1 = jnp.minimum(1.0, amax_a)
+            t1 = jnp.asarray(jnp.minimum(1.0, amax_a), cd)
             dxmdz = cv_sub(dxs_a, dzs_a)
             lam_cv1 = nt.lam_as_conevec(S)
-            root = jnp.sqrt(sigma * mu)
+            root = jnp.sqrt(sm_l)
             rc = cv_add(
                 cv_scale(cv_jmul(
                     lam_cv1, cv_sub(cv_scale(e_scaled, root), lam_cv1)), 2.0),
@@ -389,11 +506,13 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             vtk = jnp.sqrt(tau * kappa)
             dtk = (dtaua * jnp.sqrt(kappa / tau)
                    - dkappaa * jnp.sqrt(tau / kappa))
-            r_tk = 2.0 * vtk * (root - vtk) + 0.25 * t1**2 * dtk**2
+            r_tk = jnp.asarray(
+                2.0 * vtk * (jnp.sqrt(sigma * mu) - vtk), cd
+            ) + 0.25 * t1**2 * jnp.asarray(dtk, cd)**2
         else:
             corr = cv_jmul(dxs_a, dzs_a)
-            rc = cv_sub(cv_sub(cv_scale(e_scaled, sigma * mu), lam2), corr)
-            r_tk = sigma * mu - tau * kappa - dtaua * dkappaa
+            rc = cv_sub(cv_sub(cv_scale(e_scaled, sm_l), lam2), corr)
+            r_tk = sm_l - jnp.asarray(tau * kappa + dtaua * dkappaa, cd)
         dx, dy, dz, dtau, dkappa = direction(rc, r_tk)
         # direction-quality gate: an exact Newton direction satisfies
         # A dx - b dtau = -rp; the relative defect measures how much the
@@ -403,8 +522,8 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         dir_defect = jnp.linalg.norm(dax_full[:m] - b * dtau + rp) / (
             jnp.linalg.norm(rp) + mu + jnp.asarray(1e-30, dtype)
         )
-        dxs = nt.scale_x_to_v(S, dx)
-        dzs = nt.scale_z_to_v(S, dz)
+        dxs = nt.scale_x_to_v(S, lo(dx))
+        dzs = nt.scale_z_to_v(S, lo(dz))
         amax_p = jnp.minimum(nt.maxstep_scaled(S, dxs), _pos_step(tau, dtau))
         amax_d = jnp.minimum(nt.maxstep_scaled(S, dzs), _pos_step(kappa, dkappa))
         amax = jnp.minimum(amax_p, amax_d)
@@ -412,11 +531,13 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         if pars.wr:
             # wide-region acceptance (wregion.m:136-150): largest batched
             # trial step keeping delta(v) <= beta; never larger than the
-            # fraction-to-boundary step.
+            # fraction-to-boundary step.  Spectra evaluated in the compute
+            # dtype (casting the f64 scalars down keeps the batched eigh
+            # off the emulated-f64 path).
             lam_cv = nt.lam_as_conevec(S)
             t_wr, _ = wr.widelen_batched(
-                lam_cv, dxs, dzs, tau, dtau, kappa, dkappa,
-                alpha, pars.theta, pars.beta,
+                lam_cv, dxs, dzs, tau_l, lo(dtau), kappa_l, lo(dkappa),
+                lo(alpha), pars.theta, pars.beta,
             )
             alpha = jnp.minimum(alpha, t_wr)
 
@@ -481,17 +602,61 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 # the product spectra at (tp, td) and run the iswnbr
                 # proximity test; reject back to the equal step otherwise.
                 lam_cv2 = nt.lam_as_conevec(S)
+                tp_l, td_l = lo(tp), lo(td)
                 xs_c = jax.tree_util.tree_map(
-                    lambda a, d_: a + tp * d_, lam_cv2, dxs)
+                    lambda a, d_: a + tp_l * d_, lam_cv2, dxs)
                 zs_c = jax.tree_util.tree_map(
-                    lambda a, d_: a + td * d_, lam_cv2, dzs)
+                    lambda a, d_: a + td_l * d_, lam_cv2, dzs)
                 wspec = wr.prod_spectrum(xs_c, zs_c)
-                wtk = (tau + tp * dtau) * (kappa + td * dkappa)
+                wtk = lo((tau + tp * dtau) * (kappa + td * dkappa))
                 dl, _, _ = wr.iswnbr(
                     jnp.concatenate([wspec, wtk[None]]), pars.theta)
                 ok_dif = dl <= pars.beta
                 tp = jnp.where(ok_dif, tp, alpha)
                 td = jnp.where(ok_dif, td, alpha)
+
+        if hybrid:
+            # never step along a direction whose measured defect stayed
+            # CATASTROPHIC (a beyond-conditioning f32 solve, observed 1e5+):
+            # a null step lets the host driver's stall logic escalate
+            # instead of regressing the iterate.  Moderately-defective
+            # directions (dd ~ O(1)) still make progress and are kept.
+            bad_dir = dir_defect > 50.0
+            tp = jnp.where(bad_dir, 0.0, tp)
+            td = jnp.where(bad_dir, 0.0, td)
+            # The step bound amax came from the SHIFTED compute-dtype model
+            # (lo_safe), which can overestimate the true f64 boundary once
+            # lam_min drops below the compute dtype's resolution (observed:
+            # mu < 0 after a full step at mu ~ 1e-6).  Verify the candidate
+            # in the STATE dtype and backtrack until strictly interior.
+            def _interior(cv: ConeVec, t_, k_):
+                oks = [t_ > 0, k_ > 0]
+                if cv.l.size:
+                    oks.append(jnp.all(cv.l > 0))
+                for xq in cv.q:
+                    oks.append(jnp.all(jd.q_eig(xq)[..., 0] > 0))
+                for xs in cv.s:
+                    ch = jnp.linalg.cholesky(xs)
+                    oks.append(jnp.all(jnp.isfinite(ch)))
+                return jnp.all(jnp.stack(oks))
+
+            def bt_cond(carry):
+                tp_, td_, i = carry
+                xc = jax.tree_util.tree_map(lambda a, d_: a + tp_ * d_, x, dx)
+                zc = jax.tree_util.tree_map(lambda a, d_: a + td_ * d_, z, dz)
+                ok = jnp.logical_and(
+                    _interior(xc, tau + tp_ * dtau, kappa + td_ * dkappa),
+                    _interior(zc, tau + tp_ * dtau, kappa + td_ * dkappa))
+                return jnp.logical_and(jnp.logical_not(ok), i < 12)
+
+            def bt_body(carry):
+                tp_, td_, i = carry
+                return 0.6 * tp_, 0.6 * td_, i + 1
+
+            tp, td, _ = jax.lax.while_loop(
+                bt_cond, bt_body,
+                (jnp.asarray(tp, dtype), jnp.asarray(td, dtype),
+                 jnp.asarray(0)))
 
         new = IPMState(
             x=jax.tree_util.tree_map(lambda a, d: a + tp * d, x, dx),

@@ -118,57 +118,76 @@ def solve_internal(
             return TileSchurEngine(pars)
         return None
     # Precision regime (fp.precision_mode): 'mixed' runs f32 iterations
-    # while they progress and escalates to software-f64 for the endgame —
-    # the TPU answer to SURVEY.md hard part 1 (no f64 hardware; emulated
-    # f64 measured 25x slower on dense Cholesky, f32 floor ~1e-4).
+    # while they progress, then escalates to the ON-DEVICE HYBRID endgame
+    # (f64 state/residuals + f32 linear algebra; ipm.make_step
+    # compute_dtype) and only falls back to the host-CPU f64 backend when
+    # the hybrid phase stalls above eps — the TPU answer to SURVEY.md hard
+    # part 1 (no f64 hardware; the f64 ops the hybrid phase needs are
+    # elementwise/COO and cheap even software-emulated).
     mode = fp.precision_mode(pars.dtype)
     if mode == "mixed" and m < 200 and layout.N < 20000:
-        # tiny problems: skip the f32 device phase entirely; the f64 phase
+        # tiny problems: skip the device phases entirely; the f64 phase
         # below runs on the host CPU backend, where small problems solve
         # in milliseconds per iteration
         mode = "f64"
     dt_hi = np.dtype(np.float32 if mode == "f32" else np.float64)
-    dt_lo = np.dtype(np.float32) if mode == "mixed" else dt_hi
-    # Heterogeneous precision placement (SURVEY.md hard part 1): bulk f32
-    # iterations run on the accelerator; the f64 endgame runs on the HOST
-    # CPU backend (LAPACK eigh / native f64), because accelerator f64 is
-    # software-emulated (measured: a single f64 batched eig at arch0 block
-    # sizes did not finish in 560s, vs milliseconds on host).
     host_dev = None
     if dt_hi == np.dtype(np.float64) and jax.default_backend() != "cpu":
         try:
             host_dev = jax.devices("cpu")[0]
         except RuntimeError:
             host_dev = None
-    if host_dev is not None:
-        aop_hi = _mk_op(dt_hi, device=host_dev)
-        # the accelerator copy is only needed for the f32 phase
-        aop = _mk_op(dt_lo) if dt_lo != dt_hi else aop_hi
-    else:
-        aop = _mk_op(dt_hi)
-        aop_hi = aop
     normb_s = float(np.max(np.abs(b))) if m else 0.0
     normc_s = float(np.max(np.abs(c_s))) if c.size else 0.0
 
-    # multi-chip: shard the accelerator operator's cone-block axis over the
-    # requested mesh (pars.mesh_shape, e.g. {"blocks": 8}); the host-side
-    # f64 endgame stays replicated.
-    mesh = None
-    if pars.mesh_shape and engine_kind == "dense":
+    def _maybe_shard(a):
+        # multi-chip: shard the accelerator operator's cone-block axis over
+        # the requested mesh (pars.mesh_shape, e.g. {"blocks": 8})
+        if not (pars.mesh_shape and engine_kind == "dense"):
+            return a
         from .parallel import make_mesh
         from .parallel.mesh import shard_coo_aop
 
         n_req = int(np.prod(list(pars.mesh_shape.values())))
         if n_req > 1 and len(jax.devices()) >= n_req:
-            mesh = make_mesh(n_req)
-            if aop is not aop_hi:
-                aop = shard_coo_aop(aop, mesh)
-            elif host_dev is None:
-                aop = aop_hi = shard_coo_aop(aop, mesh)
+            a = shard_coo_aop(a, make_mesh(n_req))
             _log(pars, f"sharded operator over {n_req}-device mesh")
+        return a
 
-    state = ipm.init_state(layout, aop_hi, b, normb_s, normc_s, pars,
-                           dtype=jnp.dtype(dt_hi))
+    # --- precision phases (each: step fn, operators, data, device) --------
+    bundles: dict[str, dict] = {}
+    if mode == "mixed":
+        aop32 = _maybe_shard(_mk_op(np.float32))
+        aop64d = _mk_op(np.float64)           # f64 storage on the device
+        bundles["f32"] = dict(
+            step=ipm.make_step(layout, pars, normb, normc, cscale,
+                               dtype=np.float32, engine=_mk_engine()),
+            aop=aop32, aop_lo=None,
+            b=jnp.asarray(b, np.float32), rs=jnp.asarray(rowscale, np.float32),
+            dev=None, sdt=np.dtype(np.float32))
+        bundles["hybrid"] = dict(
+            step=ipm.make_step(layout, pars, normb, normc, cscale,
+                               dtype=np.float64, engine=_mk_engine(),
+                               compute_dtype=np.float32),
+            aop=aop64d, aop_lo=aop32,
+            b=jnp.asarray(b, np.float64), rs=jnp.asarray(rowscale, np.float64),
+            dev=None, sdt=np.dtype(np.float64))
+        phase_order = ["f32", "hybrid", "host64"]
+        cur = "f32"
+    else:
+        only = "f64" if mode == "f64" else "f32"
+        aop_only = _maybe_shard(_mk_op(dt_hi))
+        bundles[only] = dict(
+            step=ipm.make_step(layout, pars, normb, normc, cscale,
+                               dtype=dt_hi, engine=_mk_engine()),
+            aop=aop_only, aop_lo=None,
+            b=jnp.asarray(b, dt_hi), rs=jnp.asarray(rowscale, dt_hi),
+            dev=None, sdt=dt_hi)
+        phase_order = [only]
+        cur = only
+
+    state = ipm.init_state(layout, bundles[cur]["aop"], b, normb_s, normc_s,
+                           pars, dtype=jnp.dtype(dt_hi))
     # checkpoint/resume (new scope vs the reference, SURVEY.md section 5):
     # the iterate (x, y, z, tau, kappa) is tiny relative to the data.
     it0 = 0
@@ -183,41 +202,54 @@ def solve_internal(
     def _host_wrap(fn):
         # force LAPACK eigh when tracing for the host backend (the
         # default dispatch keys on the DEFAULT backend, which stays axon)
-        def wrapped(*args):
+        def wrapped(*args, **kw):
             with _lops.impl_override("xla"):
-                return fn(*args)
+                return fn(*args, **kw)
         return wrapped
 
-    step_hi = ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_hi,
-                            engine=_mk_engine())
-    recenter_hi = ipm.make_recenter(layout, jnp.dtype(dt_hi))
-    if host_dev is not None:
-        step_hi = _host_wrap(step_hi)
-        recenter_hi = _host_wrap(recenter_hi)
-        b_hi = jax.device_put(np.asarray(b, dt_hi), host_dev)
-        rs_hi = jax.device_put(np.asarray(rowscale, dt_hi), host_dev)
-    else:
-        b_hi = jnp.asarray(b, dt_hi)
-        rs_hi = jnp.asarray(rowscale, dt_hi)
-    bundles = {dt_hi: (step_hi, aop_hi, b_hi, rs_hi, host_dev)}
+    def _ensure_host64():
+        """Lazily build the host-CPU f64 bundle (last-resort phase)."""
+        if "host64" in bundles or host_dev is None:
+            return "host64" in bundles
+        bundles["host64"] = dict(
+            step=_host_wrap(ipm.make_step(layout, pars, normb, normc, cscale,
+                                          dtype=np.float64,
+                                          engine=_mk_engine())),
+            aop=_mk_op(np.float64, device=host_dev), aop_lo=None,
+            b=jax.device_put(np.asarray(b, np.float64), host_dev),
+            rs=jax.device_put(np.asarray(rowscale, np.float64), host_dev),
+            dev=host_dev, sdt=np.dtype(np.float64))
+        return True
 
-    def _to_hi(s):
-        """Precision handover: cast to dt_hi, move to the hi device, and
-        recenter into the cone interior (ipm.make_recenter)."""
-        s = ipm.cast_state(s, dt_hi)
-        if host_dev is not None:
-            s = jax.device_put(s, host_dev)
-        return recenter_hi(s)
-    if dt_lo != dt_hi:
-        bundles[dt_lo] = (
-            ipm.make_step(layout, pars, normb, normc, cscale, dtype=dt_lo,
-                          engine=_mk_engine()),
-            aop,
-            jnp.asarray(b, dt_lo),
-            jnp.asarray(rowscale, dt_lo),
-            None,
-        )
-    cur = dt_lo               # current phase dtype; escalates monotonically
+    recenter_hi = ipm.make_recenter(layout, jnp.dtype(dt_hi))
+
+    def _escalate(why: str) -> bool:
+        """Move to the next precision phase; returns False at the ladder top.
+        The iterate is cast to the state dtype, moved to the phase device,
+        and recentered into the cone interior (ipm.make_recenter) when it
+        comes from an f32-storage phase."""
+        nonlocal cur, state
+        idx = phase_order.index(cur)
+        while True:
+            idx += 1
+            if idx >= len(phase_order):
+                return False
+            nxt = phase_order[idx]
+            if nxt == "host64" and not _ensure_host64():
+                continue
+            break
+        from_f32 = bundles[cur]["sdt"] == np.dtype(np.float32)
+        s = ipm.cast_state(state, dt_hi)
+        dev = bundles[nxt]["dev"]
+        if dev is not None:
+            s = jax.device_put(s, dev)
+            state = _host_wrap(recenter_hi)(s) if from_f32 else s
+        else:
+            state = recenter_hi(s) if from_f32 else s
+        _log(pars, f"  escalating {cur} -> {nxt} ({why})")
+        cur = nxt
+        return True
+
     # f32 stalls once `worst` nears its rounding floor; escalate a bit
     # before that so no iterations are wasted at the floor.
     switch_tol = 3e-4
@@ -239,31 +271,31 @@ def solve_internal(
     while it < pars.maxiter:
         tried = 0
         while True:
-            step, aop_c, b_dev, rs_dev, dev = bundles[cur]
-            st_in = ipm.cast_state(state, cur) if cur != dt_hi else state
-            if dev is not None:
-                st_in = jax.device_put(st_in, dev)
-            new_state, st = step(aop_c, b_dev, rs_dev, st_in,
-                                 np.asarray(reg, cur))
+            bd = bundles[cur]
+            sdt = bd["sdt"]
+            st_in = ipm.cast_state(state, sdt) if sdt != dt_hi else state
+            if bd["dev"] is not None:
+                st_in = jax.device_put(st_in, bd["dev"])
+            kw = {"aop_lo": bd["aop_lo"]} if bd["aop_lo"] is not None else {}
+            new_state, st = bd["step"](bd["aop"], bd["b"], bd["rs"], st_in,
+                                       np.asarray(reg, sdt), **kw)
             finite = bool(np.isfinite(float(st.mu))) and bool(st.chol_ok) and \
                 np.isfinite(float(st.alpha))
             leaves_ok = all(
                 bool(np.all(np.isfinite(np.asarray(leaf))))
                 for leaf in [np.asarray(new_state.tau), np.asarray(new_state.kappa)]
             )
-            # reject low-precision steps whose direction the solves
-            # corrupted (dir_defect: exact Newton satisfies the primal row
-            # to roundoff); escalation re-runs the SAME state in f64
-            quality_ok = cur == dt_hi or float(st.dir_defect) < 0.1
+            # reject steps whose direction the solves corrupted
+            # (dir_defect: exact Newton satisfies the primal row to
+            # roundoff); escalation re-runs the SAME state one phase up
+            last_phase = cur == phase_order[-1] or (
+                cur == phase_order[-2] and phase_order[-1] == "host64"
+                and host_dev is None)
+            quality_ok = last_phase or float(st.dir_defect) < 0.1
             if finite and leaves_ok and quality_ok:
                 break
-            if cur != dt_hi:
-                # trouble in the low-precision phase: escalate, don't
-                # regularize (the f64 step usually succeeds unmodified)
-                cur = dt_hi
-                state = _to_hi(state)
-                why = "bad direction" if finite and leaves_ok else "non-finite step"
-                _log(pars, f"  escalating to f64 ({why} in f32)")
+            why = "bad direction" if finite and leaves_ok else "non-finite step"
+            if not last_phase and _escalate(f"{why} in {cur}"):
                 continue
             tried += 1
             reg = max(reg * 100.0, 1e-14)
@@ -279,7 +311,8 @@ def solve_internal(
         # PAST the best measured iterate — observed on trto3: best worst
         # 4e-8 recorded, 3e-4 state returned).
         prev_state = state
-        state = ipm.cast_state(new_state, dt_hi) if cur != dt_hi else new_state
+        state = (ipm.cast_state(new_state, dt_hi)
+                 if bundles[cur]["sdt"] != dt_hi else new_state)
         rec = {k: float(getattr(st, k)) for k in st._fields}
         iterlog.append(rec)
         it += 1
@@ -291,18 +324,21 @@ def solve_internal(
         if pars.stopat == it:
             breakpoint()  # pars.stopat debug hook (sedumi.m:430-432)
         worst = max(rec["err_p"], rec["err_d"], rec["gap_rel"])
-        if cur != dt_hi:
-            # low-precision phase management: escalate once f32 nears its
-            # floor or stops improving; its iterations are ~25x cheaper, so
+        if cur == "f32":
+            # f32 phase management: escalate once f32 nears its rounding
+            # floor or stops improving; its iterations are cheaper, so
             # erring on the late side costs little.
             since_best_phase = 0 if worst < best_worst else since_best_phase + 1
             if worst <= switch_tol or since_best_phase >= 2 or (
                 rec["alpha"] < 1e-3 and it > 3
             ):
-                cur = dt_hi
-                state = _to_hi(state)
+                if _escalate(f"f32 floor at iter {it}, worst={worst:.1e}"):
+                    since_best = 0
+        elif cur == "hybrid" and since_best >= 4 and best_worst > pars.eps:
+            # hybrid phase stalled above target: one chance on the host-f64
+            # backend before the plateau stop below fires
+            if _escalate(f"hybrid plateau at worst={best_worst:.1e}"):
                 since_best = 0
-                _log(pars, f"  escalating to f64 at iter {it} (worst={worst:.1e})")
         if pars.vplot:
             # v-plot data (sedumi.m:414,521,752-765): normalized v-space
             # spectral values after the step + reduction rate.  One extra
@@ -328,7 +364,7 @@ def solve_internal(
             break
         # -- plateau: solves at their accuracy floor, no further progress
         # (best-iterate fallback, loopPcg.m:126-146 analog) --
-        if cur == dt_hi and since_best >= 6 and best_worst < 1e-5:
+        if cur != "f32" and since_best >= 6 and best_worst < 1e-5:
             stop = 1 if best_worst <= pars.eps else -1
             break
         # -- infeasibility: tau -> 0 while kappa stays --
@@ -337,11 +373,16 @@ def solve_internal(
         ):
             stop = 2  # infeasibility certificate branch
             break
-        # -- stall: no step progress (merit stagnation, sedumi.m:497-506) --
+        # -- stall: no step progress (merit stagnation, sedumi.m:497-506);
+        # a non-final phase escalates instead of giving up --
         stall = stall + 1 if (rec["alpha"] < 1e-5 and it > 5) else 0
         if stall >= 3:
-            stop = -1
-            break
+            if _escalate(f"stalled (alpha<1e-5 x{stall})"):
+                stall = 0
+                since_best = 0
+            else:
+                stop = -1
+                break
         if pars.checkpoint_every and pars.checkpoint_path and                 it % pars.checkpoint_every == 0:
             _save_checkpoint(pars.checkpoint_path, layout, state, it)
 
@@ -363,9 +404,10 @@ def solve_internal(
     if pars.profile and engine_kind == "dense":
         from .profiling import profile_iteration
 
-        prof_aop = bundles[dt_lo][1] if dt_lo in bundles else aop
+        prof_bd = bundles.get("f32", bundles[phase_order[0]])
         profile = profile_iteration(
-            prof_aop, ipm.cast_state(state, dt_lo), np.asarray(reg, dt_lo))
+            prof_bd["aop"], ipm.cast_state(state, prof_bd["sdt"]),
+            np.asarray(reg, prof_bd["sdt"]))
     x_flat = to_flat(layout, state.x)
     z_flat = to_flat(layout, state.z)
     return InternalResult(
