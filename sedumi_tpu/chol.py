@@ -35,19 +35,25 @@ class CholFactor(NamedTuple):
     ok: jax.Array         # scalar bool: factorization finite
 
 
-def chol_factor(M: jax.Array, reg) -> CholFactor:
-    """Cholesky of the JACOBI-SCALED  D^{-1/2} (M + reg*s*I) D^{-1/2}.
+def chol_factor(M: jax.Array, reg, jacobi: bool | None = None) -> CholFactor:
+    """Cholesky of M + reg*s*I, optionally of its Jacobi-scaled form
+    D^{-1/2} (M + reg*s*I) D^{-1/2}.
 
     IPM Schur complements carry a diagonal dynamic range ~ 1/mu^2; the
-    symmetric diagonal scaling absorbs it, so the factored matrix's
-    condition is orders smaller than cond(M) — which is what lets a
-    low-precision (f32) factorization stay useful deep into the endgame
-    (same effect the reference gets from its stability-ordered supernodal
-    pivoting, blkchol2.c:96-167)."""
+    symmetric diagonal scaling absorbs it, which is what lets a
+    low-precision (f32) factorization stay useful deeper into the endgame.
+    Default: scale for f32 inputs only — in f64 the plain factorization's
+    rounding pattern matches the reference's (blkchol2.c) and measured
+    endgame convergence on trto3 is better without the extra scaling."""
     m = M.shape[0]
+    if jacobi is None:
+        jacobi = M.dtype == jnp.float32
     scale = jnp.mean(jnp.abs(jnp.diag(M))) + jnp.finfo(M.dtype).tiny
     Mr = M + (reg * scale) * jnp.eye(m, dtype=M.dtype)
-    dg = jnp.sqrt(jnp.maximum(jnp.diag(Mr), jnp.finfo(M.dtype).tiny))
+    if jacobi:
+        dg = jnp.sqrt(jnp.maximum(jnp.diag(Mr), jnp.finfo(M.dtype).tiny))
+    else:
+        dg = jnp.ones((m,), M.dtype)
     Ms = Mr / (dg[:, None] * dg[None, :])
     L = jnp.linalg.cholesky(Ms)
     ok = jnp.all(jnp.isfinite(L))
@@ -61,17 +67,18 @@ def chol_solve(f: CholFactor, b: jax.Array) -> jax.Array:
 
 def refine_solve(
     matvec: Callable[[jax.Array], jax.Array],
-    f: CholFactor,
+    f,
     b: jax.Array,
     iters: int = 2,
 ) -> jax.Array:
-    """Solve matvec(x)=b using f as (possibly inexact) direct solver,
-    polished by `iters` rounds of iterative refinement."""
-    x = chol_solve(f, b)
+    """Solve matvec(x)=b using f (a CholFactor or a callable approximate
+    solver), polished by `iters` rounds of iterative refinement."""
+    solve = f if callable(f) else (lambda bb: chol_solve(f, bb))
+    x = solve(b)
 
     def body(_, x):
         r = b - matvec(x)
-        return x + chol_solve(f, r)
+        return x + solve(r)
 
     return jax.lax.fori_loop(0, iters, body, x)
 
@@ -112,10 +119,14 @@ def ldl_masked(M: jax.Array, canceltol: float = 1e-12, maxu: float = 5e5,
         # elements above/at the diagonal do not belong to L
         mask_below = jnp.arange(m) > j
         col = jnp.where(mask_below, col, 0.0)
-        unstable = jnp.logical_and(
+        # the growth test applies to EVERY pivot, including cancelled ones
+        # (blkchol2.c:96-167): a cancelled pivot lifted to lb can still
+        # produce |L| = |A|/lb large enough to overflow the trailing
+        # updates — skipping bounds the growth and PCG/refinement repairs
+        # the dropped subspace (deninfac.m:86-94 role)
+        do_skip = jnp.logical_and(
             jnp.asarray(skip_pivots), jnp.max(jnp.abs(col)) > maxu
         )
-        do_skip = jnp.logical_and(unstable, jnp.logical_not(cancelled))
         colf = jnp.where(do_skip, 0.0, col)
         dj = jnp.where(do_skip, jnp.asarray(jnp.inf, dtype), dj)
         # rank-1 trailing update A -= colf dj colf' (skipped pivot: no-op)

@@ -85,7 +85,7 @@ class DenseSchurEngine:
     """
 
     def __init__(self, refine_iters: int = 2, qprec: int = 1,
-                 schur_dtype=None, factor_dtype=None):
+                 schur_dtype=None, factor_dtype=None, chol_pars=None):
         self.refine_iters = refine_iters
         self.qprec = qprec
         self.schur_dtype = jnp.dtype(schur_dtype) if schur_dtype else None
@@ -96,8 +96,13 @@ class DenseSchurEngine:
         # what keeps the hybrid endgame's preconditioner useful at
         # cond >> 1/eps32; only the formation's entrywise rounding remains.
         self.factor_dtype = jnp.dtype(factor_dtype) if factor_dtype else None
+        from .params import CholPars
+
+        self.chol_pars = chol_pars if chol_pars is not None else CholPars()
 
     def prepare(self, aop, S, reg):
+        from .chol import ldl_masked
+
         m = aop.m
         Maug = build_schur(aop, S)
         ADA = Maug[:m, :m]
@@ -105,29 +110,58 @@ class DenseSchurEngine:
         fd = self.factor_dtype
         if fd is not None and fd != ADA.dtype:
             ADA = ADA.astype(fd)
-            f = chol_factor(ADA, jnp.asarray(reg, fd))
+            f = chol_factor(ADA, jnp.asarray(reg, fd), jacobi=True)
         elif sd is not None and sd != ADA.dtype:
             f = chol_factor(ADA.astype(sd), jnp.asarray(reg, sd))
         else:
             f = chol_factor(ADA, reg)
-        ctx = (ADA, f)
-        return ctx, Maug[:m, m], Maug[m, m], f.ok
+        # Endgame fallback (the reference's never-fail factorization,
+        # blkchol.c:9-20): when the plain Cholesky goes indefinite under
+        # the Schur complement's ~1/mu^2 dynamic range, fall back to the
+        # masked LDL' with SeDuMi's per-pivot cancellation-add / skip
+        # semantics (chol.ldl_masked, driven by pars.chol.*).  lax.cond
+        # skips the O(m^3) scalar loop entirely while the Cholesky works.
+        cp = self.chol_pars
+        zeroL = (jnp.zeros_like(ADA), jnp.zeros(m, ADA.dtype))
+
+        def do_ldl(_):
+            fl = ldl_masked(ADA, canceltol=cp.canceltol, maxu=cp.maxu,
+                            abstol=cp.abstol, skip_pivots=bool(cp.skip))
+            return fl.L, fl.d
+
+        Lldl, dldl = jax.lax.cond(f.ok, lambda _: zeroL, do_ldl, None)
+        ok = jnp.logical_or(
+            f.ok, jnp.logical_and(jnp.all(jnp.isfinite(Lldl)),
+                                  jnp.all(~jnp.isnan(dldl))))
+        ctx = (ADA, f, Lldl, dldl)
+        return ctx, Maug[:m, m], Maug[m, m], ok
 
     def solve(self, ctx, rhs):
-        ADA, f = ctx
+        from .chol import LdlFactor, chol_solve, ldl_solve, refine_solve
+
+        ADA, f, Lldl, dldl = ctx
+
+        def base_solve(b):
+            xc = chol_solve(f, b)
+            fl = LdlFactor(L=Lldl, d=dldl,
+                           skip=jnp.zeros(dldl.shape, bool),
+                           diagadd=jnp.zeros_like(dldl))
+            xl = ldl_solve(fl, b)
+            return jnp.where(f.ok, xc, xl)
+
         if ADA.dtype != rhs.dtype:
             # high-precision factor of the compute-dtype-formed matrix:
             # solve exactly in the factor dtype, hand back a compute-dtype
             # direction (the defect-correction loop measures true f64
             # defects, so representation rounding here is benign)
-            x = refine_solve_dd(ADA, f, rhs.astype(ADA.dtype),
-                                iters=self.refine_iters)
+            b64 = rhs.astype(ADA.dtype)
+            x = base_solve(b64)
+            for _ in range(self.refine_iters):
+                x = x + base_solve(b64 - ADA @ x)
             return x.astype(rhs.dtype)
         if f.L.dtype != ADA.dtype:
             # low-precision factor: refine in full precision against ADA,
             # casting only the triangular solves down
-            from .chol import CholFactor, chol_solve, refine_solve
-
             def solve_lo(b):
                 return chol_solve(f, b.astype(f.L.dtype)).astype(ADA.dtype)
 
@@ -138,11 +172,10 @@ class DenseSchurEngine:
                 x = x + solve_lo(rhs - ADA @ x)
             return x
         if not self.qprec:
-            from .chol import refine_solve
-
-            return refine_solve(lambda v: ADA @ v, f, rhs,
-                                iters=self.refine_iters)
-        return refine_solve_dd(ADA, f, rhs, iters=self.refine_iters)
+            return refine_solve(lambda v: ADA @ v,
+                                base_solve, rhs, iters=self.refine_iters)
+        return refine_solve_dd(ADA, base_solve, rhs,
+                               iters=self.refine_iters)
 
 
 class StepStats(NamedTuple):
@@ -291,7 +324,8 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         sdt = None
         if pars.schur_dtype and jnp.dtype(pars.schur_dtype) != cd:
             sdt = pars.schur_dtype
-        engine = DenseSchurEngine(qprec=int(pars.cg.qprec), schur_dtype=sdt)
+        engine = DenseSchurEngine(qprec=int(pars.cg.qprec), schur_dtype=sdt,
+                                  chol_pars=pars.chol)
     if hybrid and isinstance(engine, DenseSchurEngine) \
             and engine.factor_dtype is None:
         engine.factor_dtype = dtype
@@ -337,7 +371,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
 
     @functools.partial(jax.jit, donate_argnums=())
     def step(aop, b: jax.Array, rs: jax.Array, state: IPMState,
-             reg: jax.Array, aop_lo=None):
+             reg: jax.Array, aop_lo=None, sd_on=True):
         # rs: row-equilibration scales; convergence is measured on the
         # ORIGINAL row scaling (rp_orig = rp / rs) while all linear algebra
         # runs on the equilibrated system.
@@ -372,7 +406,15 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             return engine.solve(ctx, rhs)
 
         u = solve(b_l + ahc)
-        D = chc + b_l @ u - ahc @ u + kappa_l / tau_l
+        # self-dual denominator: mathematically > 0, but computed as a
+        # difference of terms that reach ~1e12 on badly-scaled problems
+        # (trto3), so cancellation can leave garbage of either sign; clamp
+        # to the cancellation noise floor to keep dtau finite and sane
+        bu, au = b_l @ u, ahc @ u
+        D_raw = chc + bu - au + kappa_l / tau_l
+        D_floor = jnp.finfo(cd).eps * (jnp.abs(chc) + jnp.abs(bu)
+                                       + jnp.abs(au)) + jnp.finfo(cd).tiny
+        D = jnp.where(jnp.isfinite(D_raw) & (D_raw > D_floor), D_raw, D_floor)
 
         def direction_raw(rp_rhs, rd_rhs: ConeVec, rg_rhs, rc: ConeVec, r_tk):
             """Newton direction for general right-hand sides (all in the
@@ -528,7 +570,12 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         amax_d = jnp.minimum(nt.maxstep_scaled(S, dzs), _pos_step(kappa, dkappa))
         amax = jnp.minimum(amax_p, amax_d)
         alpha = jnp.minimum(gamma * amax, 1.0)
-        if pars.wr:
+        # alg=0 pins theta=1 (checkpars.m:62-75), where the wide region
+        # C(1) degenerates to the central path itself and the neighborhood
+        # test would only admit vanishing steps — use plain
+        # fraction-to-boundary for that (debugging) mode.
+        use_wr = pars.wr and pars.alg != 0
+        if use_wr:
             # wide-region acceptance (wregion.m:136-150): largest batched
             # trial step keeping delta(v) <= beta; never larger than the
             # fraction-to-boundary step.  Spectra evaluated in the compute
@@ -541,6 +588,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             )
             alpha = jnp.minimum(alpha, t_wr)
 
+        tp_eq = td_eq = alpha
         tp = td = alpha
         if pars.stepdif:
             # Primal/dual step-length differentiation (stepdif.m:39-175 +
@@ -594,9 +642,16 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             merit = jnp.where(ok_gap, merit, jnp.inf)
             flat = jnp.argmin(merit)
             ti, tj = jnp.unravel_index(flat, merit.shape)
-            tp = tps[ti]
-            td = tds[tj]
-            if pars.wr:
+            # only differentiate on a CLEAR predicted win: the bilinear
+            # merit model's coefficients carry cancellation noise on badly
+            # scaled problems (inner products at ~1e12), so a marginal
+            # predicted improvement is not evidence (trydif.m's
+            # conservatism); the equal-step pair sits at grid index (-1,-1)
+            merit_eq = merit[-1, -1]
+            clear_win = merit[ti, tj] < 0.9 * merit_eq
+            tp = jnp.where(clear_win, tps[ti], alpha)
+            td = jnp.where(clear_win, tds[tj], alpha)
+            if use_wr:
                 # trydif.m:40-72 — accept the differentiated step only if
                 # the candidate iterate stays in the wide region: recompute
                 # the product spectra at (tp, td) and run the iswnbr
@@ -614,6 +669,13 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 ok_dif = dl <= pars.beta
                 tp = jnp.where(ok_dif, tp, alpha)
                 td = jnp.where(ok_dif, td, alpha)
+            if pars.stepdif == 2:
+                # adaptive mode (sedumi.m:434-438): differentiation stays
+                # OFF until the host driver turns it on (iter > 20, or
+                # feasratio near 1 after iter 5) — the `sd_on` flag is
+                # traced, so the switch costs no recompilation
+                tp = jnp.where(sd_on, tp, tp_eq)
+                td = jnp.where(sd_on, td, td_eq)
 
         if hybrid:
             # never step along a direction whose measured defect stayed
@@ -624,39 +686,55 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             bad_dir = dir_defect > 50.0
             tp = jnp.where(bad_dir, 0.0, tp)
             td = jnp.where(bad_dir, 0.0, td)
-            # The step bound amax came from the SHIFTED compute-dtype model
-            # (lo_safe), which can overestimate the true f64 boundary once
-            # lam_min drops below the compute dtype's resolution (observed:
-            # mu < 0 after a full step at mu ~ 1e-6).  Verify the candidate
-            # in the STATE dtype and backtrack until strictly interior.
-            def _interior(cv: ConeVec, t_, k_):
-                oks = [t_ > 0, k_ > 0]
-                if cv.l.size:
-                    oks.append(jnp.all(cv.l > 0))
-                for xq in cv.q:
-                    oks.append(jnp.all(jd.q_eig(xq)[..., 0] > 0))
-                for xs in cv.s:
-                    ch = jnp.linalg.cholesky(xs)
-                    oks.append(jnp.all(jnp.isfinite(ch)))
-                return jnp.all(jnp.stack(oks))
 
-            def bt_cond(carry):
-                tp_, td_, i = carry
-                xc = jax.tree_util.tree_map(lambda a, d_: a + tp_ * d_, x, dx)
-                zc = jax.tree_util.tree_map(lambda a, d_: a + td_ * d_, z, dz)
-                ok = jnp.logical_and(
-                    _interior(xc, tau + tp_ * dtau, kappa + td_ * dkappa),
-                    _interior(zc, tau + tp_ * dtau, kappa + td_ * dkappa))
-                return jnp.logical_and(jnp.logical_not(ok), i < 12)
+        # The step bound amax comes from the (possibly shifted / rounded)
+        # spectral model, which can overestimate the true boundary once
+        # lam_min approaches the arithmetic's resolution — in hybrid mode
+        # through the lo_safe shift, and even in pure f64 at the endgame
+        # (observed on trto3: a 0.91-step at mu=1.7e-8 left z indefinite
+        # and NaN'd the next iteration's scaling).  Verify the candidate
+        # in the STATE dtype and backtrack until strictly interior.
+        eps_hi = float(jnp.finfo(dtype).eps)
 
-            def bt_body(carry):
-                tp_, td_, i = carry
-                return 0.6 * tp_, 0.6 * td_, i + 1
+        def _interior(cv: ConeVec, t_, k_):
+            # NUMERICALLY interior: tolerate lam_min down to -4 eps lam_max
+            # (representation noise); compute_scaling's eps-relative guards
+            # keep the next iteration's factorizations total at that level.
+            # Demanding exact positivity here crushed endgame steps to
+            # 0.6^12 of their length (observed trto3 crawl at alpha~1e-3).
+            oks = [t_ > 0, k_ > 0]
+            if cv.l.size:
+                oks.append(jnp.all(cv.l > -4 * eps_hi * jnp.max(jnp.abs(cv.l))))
+            for xq in cv.q:
+                oks.append(jnp.all(
+                    jd.q_eig(xq)[..., 0] > -4 * eps_hi * xq[..., 0]))
+            for xs in cv.s:
+                d_ = xs.shape[-1]
+                idx = jnp.arange(d_)
+                mx = jnp.max(jnp.abs(jnp.diagonal(xs, axis1=-2, axis2=-1)),
+                             axis=-1)
+                ch = jnp.linalg.cholesky(
+                    xs.at[..., idx, idx].add(4 * eps_hi * mx[..., None]))
+                oks.append(jnp.all(jnp.isfinite(ch)))
+            return jnp.all(jnp.stack(oks))
 
-            tp, td, _ = jax.lax.while_loop(
-                bt_cond, bt_body,
-                (jnp.asarray(tp, dtype), jnp.asarray(td, dtype),
-                 jnp.asarray(0)))
+        def bt_cond(carry):
+            tp_, td_, i = carry
+            xc = jax.tree_util.tree_map(lambda a, d_: a + tp_ * d_, x, dx)
+            zc = jax.tree_util.tree_map(lambda a, d_: a + td_ * d_, z, dz)
+            ok = jnp.logical_and(
+                _interior(xc, tau + tp_ * dtau, kappa + td_ * dkappa),
+                _interior(zc, tau + tp_ * dtau, kappa + td_ * dkappa))
+            return jnp.logical_and(jnp.logical_not(ok), i < 12)
+
+        def bt_body(carry):
+            tp_, td_, i = carry
+            return 0.6 * tp_, 0.6 * td_, i + 1
+
+        tp, td, _ = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (jnp.asarray(tp, dtype), jnp.asarray(td, dtype),
+             jnp.asarray(0)))
 
         new = IPMState(
             x=jax.tree_util.tree_map(lambda a, d: a + tp * d, x, dx),

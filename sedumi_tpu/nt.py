@@ -55,15 +55,32 @@ class Scaling(NamedTuple):
 
 
 def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
+    """NT scaling, total on NUMERICALLY interior points: an endgame iterate
+    can carry spectral values at the roundoff floor of its large ones
+    (lam_min ~ eps * lam_max), where a raw Cholesky/sqrt NaNs.  Every
+    factorization below is guarded by an eps-relative clamp/shift — a
+    perturbation at the representation's own noise level, so the scaling
+    is exact for any iterate that is interior by more than roundoff."""
+    eps = jnp.finfo(x.l.dtype if x.l.size else
+                    (x.s[0].dtype if x.s else x.q[0].dtype)).eps
+
+    def _posl(v):
+        if not v.size:
+            return v
+        return jnp.maximum(v, 4 * eps * jnp.max(jnp.abs(v)))
+
     # --- LP ---
-    d_l = x.l / z.l
-    lam_l = jnp.sqrt(x.l * z.l)
+    xl, zl = _posl(x.l), _posl(z.l)
+    d_l = xl / zl
+    lam_l = jnp.sqrt(xl * zl)
 
     # --- SOC ---
     q_wb, q_eta2, q_u, q_uinv, q_lam = [], [], [], [], []
     for xq, zq in zip(x.q, z.q):
-        gx = jnp.sqrt(jd.q_tdet(xq))
-        gz = jnp.sqrt(jd.q_tdet(zq))
+        floor_x = (4 * eps) ** 2 * xq[..., 0] ** 2
+        floor_z = (4 * eps) ** 2 * zq[..., 0] ** 2
+        gx = jnp.sqrt(jnp.maximum(jd.q_tdet(xq), floor_x))
+        gz = jnp.sqrt(jnp.maximum(jd.q_tdet(zq), floor_z))
         xb = xq / gx[..., None]
         zb = zq / gz[..., None]
         xbzb = jnp.sum(xb * zb, axis=-1)
@@ -84,10 +101,18 @@ def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
     # --- PSD ---
     s_r, s_rinv, s_lam = [], [], []
     for xs, zs in zip(x.s, z.s):
-        lz = jnp.linalg.cholesky(zs)
+        d = zs.shape[-1]
+        idx = jnp.arange(d)
+        mxz = jnp.max(jnp.abs(jnp.diagonal(zs, axis1=-2, axis2=-1)), axis=-1)
+        zs_g = zs.at[..., idx, idx].add(4 * eps * mxz[..., None])
+        lz = jnp.linalg.cholesky(zs_g)
         m = jnp.einsum("...ba,...bc,...cd->...ad", lz, xs, lz)
         sig2, qmat = _eigh(m)
-        sig2 = jnp.maximum(sig2, jnp.finfo(sig2.dtype).tiny)
+        sig2 = jnp.maximum(
+            sig2,
+            (4 * eps) ** 2 * jnp.max(sig2, axis=-1, keepdims=True)
+            + jnp.finfo(sig2.dtype).tiny,
+        )
         sig = jnp.sqrt(sig2)
         shalf = jnp.sqrt(sig)
         # R = Lz^{-T} Q diag(sig^{1/2}): triangular solve with Lz' (upper).

@@ -118,11 +118,13 @@ class Pars:
     #                       tile Cholesky for large-m LP/SOC with sparse ADA,
     #                       dense otherwise; symbchol.m:71-78 crossover role),
     #                       0 force dense, 1 force sparse
-    wr: int = 0           # 1: Sturm-Zhang wide-region step acceptance
-                          # (widelen/iswnbr safeguard for hard instances);
-                          # 0 (default): plain fraction-to-boundary, which
-                          # is faster and equally accurate on the bundled
-                          # suite
+    wr: int = 1           # 1 (default, matching the reference's wide-region
+                          # method): Sturm-Zhang neighborhood acceptance
+                          # (widelen/iswnbr) + trydif re-test.  0: plain
+                          # fraction-to-boundary — cheaper per iteration but
+                          # measurably insufficient on hard instances
+                          # (trto3: stalls at rel ~3e-6/3e-4; passes 1e-6
+                          # objective parity with wr=1)
     # numtol/bignumtol/numlvl are accepted for pars compatibility; they are
     # vestigial IN THE REFERENCE ITSELF: defined with defaults at
     # checkpars.m:135-142 but consumed by no other reference file (verified

@@ -79,20 +79,23 @@ def dd_matvec_residual(M: jax.Array, v: jax.Array, rhs: jax.Array) -> jax.Array:
 
 def refine_solve_dd(
     M: jax.Array,
-    f: CholFactor,
+    f,
     rhs: jax.Array,
     iters: int = 3,
 ) -> jax.Array:
     """Iterative refinement with compensated residuals and double-double
-    solution accumulation (the role of loopPcg.m:100-124 + quadadd.c)."""
-    x_hi = chol_solve(f, rhs)
+    solution accumulation (the role of loopPcg.m:100-124 + quadadd.c).
+
+    `f` is either a chol.CholFactor or a callable b -> approximate solve."""
+    solve = f if callable(f) else (lambda b: chol_solve(f, b))
+    x_hi = solve(rhs)
     x_lo = jnp.zeros_like(x_hi)
 
     def body(_, carry):
         hi, lo = carry
         r = dd_matvec_residual(M, hi, rhs)
         r = r - M @ lo
-        d = chol_solve(f, r)
+        d = solve(r)
         s, e = two_sum(hi, d)
         return s, lo + e
 

@@ -223,11 +223,12 @@ def solve_internal(
 
     recenter_hi = ipm.make_recenter(layout, jnp.dtype(dt_hi))
 
-    def _escalate(why: str) -> bool:
+    def _escalate(why: str, skip_hybrid: bool = False) -> bool:
         """Move to the next precision phase; returns False at the ladder top.
         The iterate is cast to the state dtype, moved to the phase device,
-        and recentered into the cone interior (ipm.make_recenter) when it
-        comes from an f32-storage phase."""
+        and recentered into the cone interior when entering the host phase.
+        skip_hybrid: the hybrid phase shares the f32 formation — when THAT
+        went non-finite, hybrid would fail identically, so jump past it."""
         nonlocal cur, state
         idx = phase_order.index(cur)
         while True:
@@ -235,17 +236,23 @@ def solve_internal(
             if idx >= len(phase_order):
                 return False
             nxt = phase_order[idx]
+            if skip_hybrid and nxt == "hybrid":
+                continue
             if nxt == "host64" and not _ensure_host64():
                 continue
             break
-        from_f32 = bundles[cur]["sdt"] == np.dtype(np.float32)
         s = ipm.cast_state(state, dt_hi)
         dev = bundles[nxt]["dev"]
         if dev is not None:
+            # entering the host phase: recenter strictly into the cone
+            # interior (cheap LAPACK eigs on the host; the hybrid phase
+            # instead guards positivity internally via lo_safe +
+            # backtracking, and recentering on the accelerator would hit
+            # the emulated-f64 eigh)
             s = jax.device_put(s, dev)
-            state = _host_wrap(recenter_hi)(s) if from_f32 else s
+            state = _host_wrap(recenter_hi)(s)
         else:
-            state = recenter_hi(s) if from_f32 else s
+            state = s
         _log(pars, f"  escalating {cur} -> {nxt} ({why})")
         cur = nxt
         return True
@@ -260,6 +267,10 @@ def solve_internal(
     vlist: list[np.ndarray] = []
     ratelist: list[float] = []
     prev_mu = 0.0
+    # adaptive step-differentiation (sedumi.m:434-438): stepdif=2 starts
+    # with EQUAL steps and enables differentiation late (iter > 20, or
+    # feasratio near 1 after iter 5); the flag is traced, no recompiles
+    sd_on = pars.stepdif != 2
     stop = 0
     it = it0
     stall = 0
@@ -278,7 +289,8 @@ def solve_internal(
                 st_in = jax.device_put(st_in, bd["dev"])
             kw = {"aop_lo": bd["aop_lo"]} if bd["aop_lo"] is not None else {}
             new_state, st = bd["step"](bd["aop"], bd["b"], bd["rs"], st_in,
-                                       np.asarray(reg, sdt), **kw)
+                                       np.asarray(reg, sdt),
+                                       sd_on=np.asarray(sd_on), **kw)
             finite = bool(np.isfinite(float(st.mu))) and bool(st.chol_ok) and \
                 np.isfinite(float(st.alpha))
             leaves_ok = all(
@@ -295,11 +307,21 @@ def solve_internal(
             if finite and leaves_ok and quality_ok:
                 break
             why = "bad direction" if finite and leaves_ok else "non-finite step"
-            if not last_phase and _escalate(f"{why} in {cur}"):
+            _log(pars,
+                 f"  step rejected ({why}): mu={float(st.mu):.1e} "
+                 f"alpha={float(st.alpha):.1e} chol_ok={bool(st.chol_ok)} "
+                 f"defect={float(st.dir_defect):.1e} reg={reg:.1e}")
+            if not last_phase and _escalate(
+                    f"{why} in {cur}",
+                    skip_hybrid=(not finite or not leaves_ok)):
                 continue
             tried += 1
             reg = max(reg * 100.0, 1e-14)
-            if tried > 4:
+            # the ladder must reach reg ~ 1e-4: endgame Schur complements
+            # can be indefinite by ~1e-9 RELATIVE from formation roundoff
+            # alone (measured on trto3: lam_min = -1.6e-4 vs ||M|| = 2e5),
+            # which needs reg*scale above that deficit
+            if tried > 6:
                 stop = -1
                 break
         if stop == -1:
@@ -323,6 +345,20 @@ def solve_internal(
         )
         if pars.stopat == it:
             breakpoint()  # pars.stopat debug hook (sedumi.m:430-432)
+        if not sd_on:
+            # NOTE deliberate deviation from sedumi.m:434-438 (which enables
+            # differentiation when feasratio nears 1): our stepdif is a
+            # bilinear-merit GRID search, not the reference's exact
+            # breakpoint analysis (stepdif.m:39-175), and it measurably
+            # destabilizes the endgame ratchet on hard optimal runs
+            # (trto3: rel 9e-7 with equal steps vs 2.7e-4 differentiated).
+            # It clearly helps certificate-bound runs (tau/kappa racing),
+            # so the adaptive mode enables it exactly there.
+            # engage once tau is collapsing relative to kappa (an optimal
+            # run's transients reach kappa ~ 3 tau; a certificate run blows
+            # through 1e3 on its way to the tau ~ 1e-12 kappa stop)
+            if it > 10 and rec["tau"] < 1e-3 * rec["kappa"]:
+                sd_on = True
         worst = max(rec["err_p"], rec["err_d"], rec["gap_rel"])
         if cur == "f32":
             # f32 phase management: escalate once f32 nears its rounding
@@ -351,10 +387,17 @@ def solve_internal(
             ratelist.append(rec["mu"] / prev_mu if prev_mu else 1.0)
             prev_mu = rec["mu"]
         if worst < best_worst:
+            if worst > best_worst * (1.0 - 5e-4):
+                # micro-improvement (<0.05%/iter): count toward the stall
+                # budget, but keep the better iterate — on hard instances
+                # (trto3) the endgame ratchets err_p and gap alternately
+                # and the best-iterate tracker needs the tail
+                since_best += 1
+            else:
+                since_best = 0
             best_worst = worst
             best_state = prev_state
             best_rec = rec
-            since_best = 0
         else:
             since_best += 1
         # -- convergence --
@@ -366,6 +409,12 @@ def solve_internal(
         # (best-iterate fallback, loopPcg.m:126-146 analog) --
         if cur != "f32" and since_best >= 6 and best_worst < 1e-5:
             stop = 1 if best_worst <= pars.eps else -1
+            break
+        # hard plateau: a long stretch without >=0.05% improvement (the
+        # f32 phase and a non-final hybrid phase escalate earlier above;
+        # generous because the endgame's best-iterate ratchet is slow)
+        if cur != "f32" and since_best >= 30:
+            stop = -1
             break
         # -- infeasibility: tau -> 0 while kappa stays --
         if rec["tau"] < 1e-12 * max(1.0, rec["kappa"]) or (

@@ -3,13 +3,12 @@
 Acceptance: objective parity vs the published optima at rel-err 1e-6, with
 pinf=dinf=0 and numerr<2.
 
-Exception, documented: **control07**'s published value -2.062510e+01 is
-SDPLIB's 6-significant-digit value zero-padded.  Our solver produces an
-*exactly dual-feasible* certificate (z = c - A'y with lambda_min(z) > 0
-verified in exact original data), proving p* >= b'y = -20.6250729; the true
-optimum rounds to 2.06251e+01 at 6 digits, consistent with SDPLIB.  We
-therefore gate control07 at rel 2.5e-6 against the padded value while also
-checking the much tighter primal/dual agreement of our own solution.
+control07 history: round 1 gated it at 2.5e-6 with a dual-feasibility
+argument about SDPLIB's 6-digit published value.  With the wide-region
+neighborhood now on by default (pars.wr=1, the reference's own default
+method), control07 converges to rel 5e-8 against the published value — the
+loosened gate was masking a solver weakness, not a data problem; it is
+back at the reference's own 1e-6.
 
 quantum + nb + control07 run in the default suite; arch0 is ~25s on the
 2-vCPU CI host (marked slow); trto3 / OH are large (marked slow, intended
@@ -50,7 +49,7 @@ def test_nb():
 
 def test_control07():
     # see module docstring: published value is 6-digit accurate only
-    _solve_and_check("control07", tol=2.5e-6)
+    _solve_and_check("control07")
 
 
 @pytest.mark.slow
