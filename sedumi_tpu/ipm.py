@@ -695,6 +695,13 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         # and NaN'd the next iteration's scaling).  Verify the candidate
         # in the STATE dtype and backtrack until strictly interior.
         eps_hi = float(jnp.finfo(dtype).eps)
+        # the PSD probe runs in f32: an emulated-f64 cholesky inside the
+        # backtracking while_loop made OH's hybrid step uncompileable
+        # (>9 min); f32 resolution (~1e-7 lam_max) catches every crossing
+        # the f32-model overshoot can produce, and compute_scaling's
+        # eps-relative guards keep anything smaller finite
+        probe_dt = jnp.float32 if dtype == jnp.float64 else dtype
+        eps_pr = float(jnp.finfo(probe_dt).eps)
 
         def _interior(cv: ConeVec, t_, k_):
             # NUMERICALLY interior: tolerate lam_min down to -4 eps lam_max
@@ -709,12 +716,13 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 oks.append(jnp.all(
                     jd.q_eig(xq)[..., 0] > -4 * eps_hi * xq[..., 0]))
             for xs in cv.s:
-                d_ = xs.shape[-1]
+                x32 = jnp.asarray(xs, probe_dt)
+                d_ = x32.shape[-1]
                 idx = jnp.arange(d_)
-                mx = jnp.max(jnp.abs(jnp.diagonal(xs, axis1=-2, axis2=-1)),
+                mx = jnp.max(jnp.abs(jnp.diagonal(x32, axis1=-2, axis2=-1)),
                              axis=-1)
                 ch = jnp.linalg.cholesky(
-                    xs.at[..., idx, idx].add(4 * eps_hi * mx[..., None]))
+                    x32.at[..., idx, idx].add(4 * eps_pr * mx[..., None]))
                 oks.append(jnp.all(jnp.isfinite(ch)))
             return jnp.all(jnp.stack(oks))
 
