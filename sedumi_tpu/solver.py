@@ -111,11 +111,24 @@ def solve_internal(
             return make_sparse_lq_op(*sp_plan, dtype=dtype, device=device)
         return build_coo_aop(At, c_s, layout, dtype=dtype, device=device)
 
-    def _mk_engine():
+    def _mk_engine(host: bool = False):
         if engine_kind == "sparse":
             from .sparse_engine import TileSchurEngine
 
             return TileSchurEngine(pars)
+        # Schur-panel tensor parallelism (pars.mesh_shape with a "panels"
+        # axis): the Schur complement is reduce-scattered into row panels
+        # and factored/solved distributed (parallel.panels).  Device phases
+        # only — the host-CPU fallback stays replicated.
+        if not host and pars.mesh_shape and "panels" in pars.mesh_shape:
+            n_req = int(np.prod(list(pars.mesh_shape.values())))
+            if n_req > 1 and len(jax.devices()) >= n_req:
+                from .parallel import make_mesh
+                from .parallel.panels import PanelSchurEngine
+
+                return PanelSchurEngine(
+                    make_mesh(n_req),
+                    refine_iters=max(2, int(pars.cg.refine)))
         return None
     # Precision regime (fp.precision_mode): 'mixed' runs f32 iterations
     # while they progress, then escalates to the ON-DEVICE HYBRID endgame
@@ -214,7 +227,7 @@ def solve_internal(
         bundles["host64"] = dict(
             step=_host_wrap(ipm.make_step(layout, pars, normb, normc, cscale,
                                           dtype=np.float64,
-                                          engine=_mk_engine())),
+                                          engine=_mk_engine(host=True))),
             aop=_mk_op(np.float64, device=host_dev), aop_lo=None,
             b=jax.device_put(np.asarray(b, np.float64), host_dev),
             rs=jax.device_put(np.asarray(rowscale, np.float64), host_dev),

@@ -36,7 +36,7 @@ def test_sharded_matches_unsharded():
     from sedumi_tpu.parallel import make_mesh, shard_aop, shard_state
     from sedumi_tpu.parallel.mesh import replicate
 
-    step, (aop, b, rs, state, reg) = ge._small_problem(
+    step, (aop, b, rs, state, reg), _ = ge._small_problem(
         n_blocks_s=8, n_blocks_q=8, m=7, seed=3
     )
     ref_state, ref_stats = step(aop, b, rs, state, reg)
