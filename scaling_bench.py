@@ -32,7 +32,7 @@ import numpy as np  # noqa: E402
 
 
 def bench(n_devices: int, n_blocks: int = 32, d: int = 48, m: int = 24,
-          iters: int = 10) -> float:
+          iters: int = 10, panels: bool = False) -> float:
     import jax.numpy as jnp  # noqa: F401
 
     from sedumi_tpu import ipm
@@ -58,7 +58,12 @@ def bench(n_devices: int, n_blocks: int = 32, d: int = 48, m: int = 24,
     normb = float(np.max(np.abs(b_s)))
     normc = float(np.max(np.abs(prob.c)))
     state = ipm.init_state(layout, aop, b_s, normb, normc, pars)
-    step = ipm.make_step(layout, pars, normb, normc)
+    engine = None
+    if panels and n_devices > 1:
+        from sedumi_tpu.parallel.panels import PanelSchurEngine
+
+        engine = PanelSchurEngine(make_mesh(n_devices), bs=8)
+    step = ipm.make_step(layout, pars, normb, normc, engine=engine)
     import jax.numpy as jnp
 
     b_d, rs_d = jnp.asarray(b_s), jnp.asarray(rowscale)
@@ -83,6 +88,7 @@ def main() -> None:
     n_max = min(8, len(jax.devices()))
     r1 = bench(1)
     rn = bench(n_max)
+    rp = bench(n_max, panels=True)
     eff = rn / (r1 * n_max)
     out = {
         "kind": "virtual-cpu-mesh scaling (structure validation, NOT real "
@@ -90,11 +96,13 @@ def main() -> None:
         "devices": n_max,
         "iters_per_sec_1dev": round(r1, 3),
         f"iters_per_sec_{n_max}dev": round(rn, 3),
+        f"iters_per_sec_{n_max}dev_panels": round(rp, 3),
         "efficiency_vs_linear": round(eff, 4),
         "note": "On a shared-memory virtual mesh, per-device throughput is "
                 "bounded by the 2 host vCPUs; the number validates that the "
-                "sharded program runs without pathological collectives, not "
-                "chip-scaling.",
+                "sharded programs (cone-block DP, and DP + Schur-panel TP "
+                "with the distributed block Cholesky) run without "
+                "pathological collectives, not chip-scaling.",
     }
     with open("SCALING.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -76,6 +76,9 @@ def precision_mode(requested: str | None = "auto") -> str:
     'f32'   -- f32 only (+compensated refinement): no usable f64 anywhere,
                or explicitly requested.
     """
+    if requested == "mixed":
+        # explicit request (testing the full phase ladder on any backend)
+        return "mixed"
     if requested in (None, "auto"):
         if jax.default_backend() == "cpu":
             return "f64"

@@ -289,11 +289,16 @@ def build_dense_aop(
     bucket (the marshalling role of partitA.c/extractA.c).
 
     `device`: optional jax device the arrays are committed to (None = the
-    default backend).  The heterogeneous-precision driver places the f64
-    operator on the host CPU backend (solver.py).
+    default backend; the string "numpy" keeps host ndarrays — used by the
+    double-float splitter, df.build_df_aop).  The heterogeneous-precision
+    driver places the f64 operator on the host CPU backend (solver.py).
     """
-    _place = (lambda a: jax.device_put(a, device)) if device is not None \
-        else jnp.asarray
+    if device == "numpy":
+        _place = lambda a: a  # noqa: E731
+    elif device is not None:
+        _place = lambda a: jax.device_put(a, device)  # noqa: E731
+    else:
+        _place = jnp.asarray
     N, m = At.shape
     assert N == layout.N, (N, layout.N)
     aug = sp.hstack(

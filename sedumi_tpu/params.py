@@ -136,7 +136,9 @@ class Pars:
     cg: CgPars = field(default_factory=CgPars)
     # --- TPU-native extensions ---
     dtype: str = "auto"   # 'auto': f64 where the backend really computes
-    #                       f64 (CPU), else f32 (TPU) — see fp.resolve_dtype
+    #                       f64 (CPU), else f32 (TPU); 'mixed' forces the
+    #                       f32 -> hybrid(double-float) -> host-f64 phase
+    #                       ladder on any backend — see fp.precision_mode
     schur_dtype: str | None = None
     optstep: int = 1      # pure-LP Mehrotra-Ye finite-termination projection
     pack_dim: int = 128   # pack PSD blocks of order < pack_dim into

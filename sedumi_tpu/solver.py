@@ -138,7 +138,8 @@ def solve_internal(
     # part 1 (no f64 hardware; the f64 ops the hybrid phase needs are
     # elementwise/COO and cheap even software-emulated).
     mode = fp.precision_mode(pars.dtype)
-    if mode == "mixed" and m < 200 and layout.N < 20000:
+    if (mode == "mixed" and pars.dtype != "mixed"
+            and m < 200 and layout.N < 20000):
         # tiny problems: skip the device phases entirely; the f64 phase
         # below runs on the host CPU backend, where small problems solve
         # in milliseconds per iteration
@@ -171,7 +172,19 @@ def solve_internal(
     bundles: dict[str, dict] = {}
     if mode == "mixed":
         aop32 = _maybe_shard(_mk_op(np.float32))
-        aop64d = _mk_op(np.float64)           # f64 storage on the device
+        # Hybrid-phase f64-quality operator: the accelerator has no native
+        # f64, and XLA's emulated-f64 GEMV costs SECONDS per apply at OH
+        # scale (measured 13.4s vs ~2ms of HBM time).  The double-float
+        # (two-f32) compensated operator (df.DfAOp) delivers ~1e-14
+        # relative products at f32 bandwidth — the quadadd.c role on this
+        # hardware.  The sparse engine keeps the emulated-f64 COO operator
+        # (its products are nnz-bound and cheap).
+        if engine_kind == "dense":
+            from .df import build_df_aop
+
+            aop64d = build_df_aop(At, c_s, layout)
+        else:
+            aop64d = _mk_op(np.float64)       # f64 storage on the device
         bundles["f32"] = dict(
             step=ipm.make_step(layout, pars, normb, normc, cscale,
                                dtype=np.float32, engine=_mk_engine()),
@@ -220,10 +233,28 @@ def solve_internal(
                 return fn(*args, **kw)
         return wrapped
 
+    host64_possible = host_dev is not None or jax.default_backend() == "cpu"
+
     def _ensure_host64():
-        """Lazily build the host-CPU f64 bundle (last-resort phase)."""
-        if "host64" in bundles or host_dev is None:
-            return "host64" in bundles
+        """Lazily build the true-f64 last-resort phase: the host CPU device
+        when the accelerator is the default backend, or the default device
+        itself when it natively computes f64 (CPU backend with
+        pars.dtype='mixed' — the ladder is then f32 -> hybrid -> f64 on
+        one device)."""
+        if "host64" in bundles:
+            return True
+        if host_dev is None:
+            if jax.default_backend() != "cpu":
+                return False
+            bundles["host64"] = dict(
+                step=ipm.make_step(layout, pars, normb, normc, cscale,
+                                   dtype=np.float64,
+                                   engine=_mk_engine(host=True)),
+                aop=_mk_op(np.float64), aop_lo=None,
+                b=jnp.asarray(b, np.float64),
+                rs=jnp.asarray(rowscale, np.float64),
+                dev=None, sdt=np.dtype(np.float64), recenter=True)
+            return True
         bundles["host64"] = dict(
             step=_host_wrap(ipm.make_step(layout, pars, normb, normc, cscale,
                                           dtype=np.float64,
@@ -235,6 +266,7 @@ def solve_internal(
         return True
 
     recenter_hi = ipm.make_recenter(layout, jnp.dtype(dt_hi))
+    recenter_lo = ipm.make_recenter(layout, jnp.float32)
 
     def _escalate(why: str, skip_hybrid: bool = False) -> bool:
         """Move to the next precision phase; returns False at the ladder top.
@@ -255,6 +287,15 @@ def solve_internal(
                 continue
             break
         s = ipm.cast_state(state, dt_hi)
+        if nxt == "hybrid":
+            # entering the hybrid phase: recenter in f32 (cheap batched
+            # eigs on the accelerator; the incoming iterate is f32-accurate
+            # so the cast loses nothing).  Without this an off-center f32
+            # iterate leaves every widelen trial outside the wide region
+            # and the hybrid phase crawls at the fallback step (observed:
+            # alpha pinned at 2e-3 for 100+ iterations).
+            s = ipm.cast_state(recenter_lo(ipm.cast_state(s, jnp.float32)),
+                               dt_hi)
         dev = bundles[nxt]["dev"]
         if dev is not None:
             # entering the host phase: recenter strictly into the cone
@@ -264,6 +305,8 @@ def solve_internal(
             # the emulated-f64 eigh)
             s = jax.device_put(s, dev)
             state = _host_wrap(recenter_hi)(s)
+        elif bundles[nxt].get("recenter"):
+            state = recenter_hi(s)   # same-device f64 phase (CPU backend)
         else:
             state = s
         _log(pars, f"  escalating {cur} -> {nxt} ({why})")
@@ -315,7 +358,7 @@ def solve_internal(
             # roundoff); escalation re-runs the SAME state one phase up
             last_phase = cur == phase_order[-1] or (
                 cur == phase_order[-2] and phase_order[-1] == "host64"
-                and host_dev is None)
+                and not host64_possible)
             quality_ok = last_phase or float(st.dir_defect) < 0.1
             if finite and leaves_ok and quality_ok:
                 break

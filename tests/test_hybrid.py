@@ -60,3 +60,25 @@ def test_hybrid_step_reaches_f64_accuracy():
     # ever going non-finite; in the solver it is a middle rung between the
     # f32 phase and the host-f64 endgame (solver.py phase ladder).
     assert best < 5e-3, best
+
+
+def test_mixed_ladder_with_df_operator_e2e():
+    """Full sedumi() with pars.dtype='mixed': the f32 phase runs first and
+    the hybrid phase uses the double-float operator (df.DfAOp) for its
+    f64-quality residuals — the on-device endgame path that TPU problems
+    take, exercised here on the CPU backend.  Must reach eps=1e-8 worst
+    error like the plain f64 path."""
+    import numpy as np
+
+    from sedumi_tpu import sedumi
+    from sedumi_tpu.generators import feasible_problem
+
+    K = {"l": 8, "q": [5, 4], "s": [8, 6]}
+    At, b, c, Kspec = feasible_problem(K, 30, seed=11)
+    x64, y64, info64 = sedumi(At, b, c, Kspec, {"fid": 0})
+    xm, ym, infom = sedumi(At, b, c, Kspec, {"fid": 0, "dtype": "mixed"})
+    assert infom["pinf"] == 0 and infom["dinf"] == 0
+    assert infom["numerr"] == 0
+    cx64 = float(np.vdot(c, x64))
+    cxm = float(np.vdot(c, xm))
+    assert abs(cxm - cx64) <= 1e-6 * (1.0 + abs(cx64))
