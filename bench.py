@@ -16,6 +16,12 @@ extra keys   = per-phase device TFLOP/s on the timed example
 Env:
   SEDUMI_BENCH_EXAMPLES  comma list (default: all six)
   SEDUMI_BENCH_TIMED     example used for the timed metric (default arch0)
+  SEDUMI_BENCH_DEADLINE  global wall-clock budget in seconds (default 3000);
+                         a watchdog thread prints the JSON line with partial
+                         results and hard-exits — a wedged device tunnel
+                         (observed: axon claim held by a dead client blocks
+                         every device op indefinitely) must not turn the
+                         bench into a silent hang.
 """
 
 from __future__ import annotations
@@ -23,17 +29,41 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 ALL_SIX = "quantum,nb,arch0,control07,trto3,OH_2Pi_STO-6GN9r12g1T2"
 
+_RESULT: dict = {"metric": "bench_incomplete", "value": 0.0, "unit": "iter/s",
+                 "vs_baseline": 0.0, "examples": {}}
+
+
+def _emit_and_exit():
+    print(json.dumps(_RESULT), flush=True)
+    os._exit(0)
+
+
+def _arm_watchdog():
+    deadline = float(os.environ.get("SEDUMI_BENCH_DEADLINE", "3000"))
+
+    def fire():
+        _RESULT["examples"].setdefault(
+            "_watchdog", f"deadline {deadline:.0f}s hit; partial results")
+        _emit_and_exit()
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main() -> None:
     from sedumi_tpu import sedumi
     from sedumi_tpu.examples import load_example
 
+    _arm_watchdog()
     names = os.environ.get("SEDUMI_BENCH_EXAMPLES", ALL_SIX).split(",")
     timed_name = os.environ.get("SEDUMI_BENCH_TIMED", "arch0")
 
@@ -41,7 +71,7 @@ def main() -> None:
     attempted = 0
     timed_iter_per_sec = 0.0
     profile = {}
-    detail = {}
+    detail = _RESULT["examples"]   # shared with the watchdog for partials
     for name in names:
         name = name.strip()
         ex = load_example(name)
@@ -60,6 +90,7 @@ def main() -> None:
                 and info["numerr"] < 2
             )
             passes += int(ok)
+            _RESULT["vs_baseline"] = round(passes / max(attempted, 1), 4)
             detail[name] = {"rel": float(f"{rel:.3e}"), "iter": info["iter"],
                             "numerr": info["numerr"],
                             "cold_s": round(wall_cold, 1), "pass": bool(ok)}
@@ -72,6 +103,8 @@ def main() -> None:
                                      {"fid": 0, "profile": 1})
                 warm = time.time() - t0
                 timed_iter_per_sec = info2["iter"] / max(info2["timing"][1], 1e-9)
+                _RESULT["value"] = round(timed_iter_per_sec, 4)
+                _RESULT["metric"] = f"{timed_name}_ipm_iterations_per_sec"
                 profile = {k: v for k, v in info2.get("profile", {}).items()
                            if k.endswith("_ms") or k.endswith("_tflops")}
                 print(f"# {name} warm: {warm:.1f}s "
@@ -81,18 +114,13 @@ def main() -> None:
             detail[name] = {"error": f"{type(e).__name__}: {e}"}
             print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{timed_name}_ipm_iterations_per_sec",
-                "value": round(timed_iter_per_sec, 4),
-                "unit": "iter/s",
-                "vs_baseline": round(passes / max(attempted, 1), 4),
-                "examples": detail,
-                "profile": profile,
-            }
-        )
+    _RESULT.update(
+        metric=f"{timed_name}_ipm_iterations_per_sec",
+        value=round(timed_iter_per_sec, 4),
+        vs_baseline=round(passes / max(attempted, 1), 4),
+        profile=profile,
     )
+    print(json.dumps(_RESULT), flush=True)
 
 
 if __name__ == "__main__":
