@@ -43,3 +43,28 @@ def test_odd_padding(rng):
     w, V = jacobi_eigh(A)
     np.testing.assert_allclose(np.asarray(w), np.linalg.eigvalsh(np.asarray(A)),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_jacobi_eigh_near_singular_nt(rng):
+    """Endgame NT matrices have condition ~1/eps; the fixed-sweep Jacobi
+    must keep ABSOLUTE eigenvalue error and residual at ~1e-8 * ||A||
+    there (its on-device users run in f32, whose floor is 6e-8 * ||A||;
+    the true-f64 phase uses LAPACK via linalg_ops.impl_override)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sedumi_tpu.lax_eigh import jacobi_eigh
+
+    for n, cond in [(96, 1e12), (180, 1e15)]:
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        d = np.geomspace(1.0, 1.0 / cond, n)
+        A = (Q * d) @ Q.T
+        A = 0.5 * (A + A.T)
+        w, V = jacobi_eigh(jnp.asarray(A))
+        w_, V_ = np.asarray(w), np.asarray(V)
+        wr = np.sort(np.linalg.eigvalsh(A))
+        assert np.max(np.abs(np.sort(w_) - wr)) < 1e-7  # ||A|| = 1
+        R = A @ V_ - V_ * w_[None, :]
+        assert np.linalg.norm(R) / np.linalg.norm(A) < 1e-7
+        # no spurious large-negative eigenvalues (would break maxstep)
+        assert np.min(w_) > -3e-8
