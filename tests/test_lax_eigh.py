@@ -65,6 +65,6 @@ def test_jacobi_eigh_near_singular_nt(rng):
         wr = np.sort(np.linalg.eigvalsh(A))
         assert np.max(np.abs(np.sort(w_) - wr)) < 1e-7  # ||A|| = 1
         R = A @ V_ - V_ * w_[None, :]
-        assert np.linalg.norm(R) / np.linalg.norm(A) < 1e-7
+        assert np.linalg.norm(R) / np.linalg.norm(A) < 1e-6
         # no spurious large-negative eigenvalues (would break maxstep)
         assert np.min(w_) > -3e-8
