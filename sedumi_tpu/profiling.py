@@ -101,3 +101,41 @@ def profile_iteration(aop, state, reg) -> dict[str, Any]:
         "schur_flop_count": fl_schur,
         "chol_flop_count": fl_chol,
     }
+
+
+def profile_sparse_iteration(engine, aop, state, reg) -> dict[str, Any]:
+    """Per-phase device timing for the tile-supernodal sparse engine
+    (sparse_engine.TileSchurEngine): NT scaling, prepare (sparse ADA
+    assembly + level-scheduled tile factorization + dense-column Woodbury),
+    and one direction solve (tile triangular solves + PCG refinement).
+    Complements profile_iteration (dense engine); same pars.profile=1
+    contract."""
+    from . import nt as _nt
+
+    scaling = jax.jit(lambda x, z: _nt.compute_scaling(x, z))
+
+    def timed(fn, *args, repeats: int = 3):
+        out = jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = jax.block_until_ready(fn(*args))
+        return out, (time.perf_counter() - t0) / repeats * 1e3
+
+    S, t_scal = timed(scaling, state.x, state.z)
+    # the tile ctx carries plan arrays that must not cross a jit boundary;
+    # time prepare alone and prepare+solve fused, report the difference
+    prep_only = jax.jit(lambda a, s, r: engine.prepare(a, s, r)[1:])
+
+    def _prep_solve(a, s, r, b):
+        ctx, *_ = engine.prepare(a, s, r)
+        return engine.solve(ctx, b)
+
+    prep_solve = jax.jit(_prep_solve)
+    _, t_prep = timed(prep_only, aop, S, reg)
+    rhs = jnp.ones((aop.m,), jnp.asarray(reg).dtype)
+    _, t_both = timed(prep_solve, aop, S, reg, rhs)
+    return {
+        "nt_scaling_ms": round(t_scal, 3),
+        "prepare_ms": round(t_prep, 3),    # ADA assembly + tile factor
+        "solve_ms": round(max(t_both - t_prep, 0.0), 3),  # tri solves + PCG
+    }

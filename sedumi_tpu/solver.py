@@ -513,6 +513,14 @@ def solve_internal(
         profile = profile_iteration(
             prof_bd["aop"], ipm.cast_state(state, prof_bd["sdt"]),
             np.asarray(reg, prof_bd["sdt"]))
+    elif pars.profile and engine_kind == "sparse":
+        from .profiling import profile_sparse_iteration
+
+        prof_bd = bundles.get("f32", bundles[phase_order[0]])
+        profile = profile_sparse_iteration(
+            _mk_engine(), prof_bd["aop"],
+            ipm.cast_state(state, prof_bd["sdt"]),
+            np.asarray(reg, prof_bd["sdt"]))
     x_flat = to_flat(layout, state.x)
     z_flat = to_flat(layout, state.z)
     return InternalResult(
