@@ -695,12 +695,16 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         # and NaN'd the next iteration's scaling).  Verify the candidate
         # in the STATE dtype and backtrack until strictly interior.
         eps_hi = float(jnp.finfo(dtype).eps)
-        # the PSD probe runs in f32: an emulated-f64 cholesky inside the
-        # backtracking while_loop made OH's hybrid step uncompileable
-        # (>9 min); f32 resolution (~1e-7 lam_max) catches every crossing
-        # the f32-model overshoot can produce, and compute_scaling's
-        # eps-relative guards keep anything smaller finite
-        probe_dt = jnp.float32 if dtype == jnp.float64 else dtype
+        # The PSD probe runs in the COMPUTE dtype.  Hybrid phase (cd=f32):
+        # an emulated-f64 cholesky inside the backtracking while_loop made
+        # OH's hybrid step uncompileable (>9 min), and f32 resolution
+        # catches every crossing the f32-model overshoot can produce.
+        # Native-f64 phases MUST probe in f64: a legitimate endgame PSD
+        # iterate carries lam_min ~ 1e-9 * lam_max, which a f32 cholesky
+        # (roundoff ~ d*eps32*lam_max) always grades indefinite — probing
+        # those in f32 pinned every accepted step at the 0.6^12 backtrack
+        # floor and cost arch0 its 1e-6 parity (round-2 regression).
+        probe_dt = jnp.float32 if cd == jnp.float32 else dtype
         eps_pr = float(jnp.finfo(probe_dt).eps)
 
         def _interior(cv: ConeVec, t_, k_):
