@@ -1,6 +1,6 @@
 """Benchmark: objective parity on all six reference examples + throughput.
 
-Prints ONE JSON line:
+Prints ONE final JSON line on stdout:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...}
 
 value        = IPM iterations/second on the timed example (default arch0),
@@ -13,15 +13,23 @@ extra keys   = per-phase device TFLOP/s on the timed example
                (profiling.profile_iteration; BASELINE.md's "Schur+Chol at
                speed-of-light per chip" metric) and per-example detail.
 
+Structure (hardened after the round-2 rc=124/no-output failure):
+  * the watchdog is armed BEFORE `import sedumi_tpu` — a wedged device
+    tunnel during jax/backend init (observed: an axon claim held by a dead
+    client blocks every device op indefinitely) still produces the JSON
+    line with whatever completed;
+  * the TIMED example runs FIRST, so the headline number exists even if
+    the deadline fires mid-list;
+  * one JSON progress line per example goes to stderr AS IT COMPLETES;
+  * a watchdog fire sets "timeout": true in the final JSON (exit code
+    stays 0 so the driver still parses the line), and the timer is
+    cancelled before the normal final print so only one line is emitted.
+
 Env:
   SEDUMI_BENCH_EXAMPLES  comma list (default: all six)
   SEDUMI_BENCH_TIMED     example used for the timed metric (default arch0)
-  SEDUMI_BENCH_DEADLINE  global wall-clock budget in seconds (default 3000);
-                         a watchdog thread prints the JSON line with partial
-                         results and hard-exits — a wedged device tunnel
-                         (observed: axon claim held by a dead client blocks
-                         every device op indefinitely) must not turn the
-                         bench into a silent hang.
+  SEDUMI_BENCH_DEADLINE  global wall-clock budget in seconds (default 1200,
+                         safely under the driver's budget)
 """
 
 from __future__ import annotations
@@ -32,48 +40,72 @@ import sys
 import threading
 import time
 
-import numpy as np
-
 ALL_SIX = "quantum,nb,arch0,control07,trto3,OH_2Pi_STO-6GN9r12g1T2"
 
 _RESULT: dict = {"metric": "bench_incomplete", "value": 0.0, "unit": "iter/s",
                  "vs_baseline": 0.0, "examples": {}}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+_T0 = time.time()
 
 
-def _emit_and_exit():
-    print(json.dumps(_RESULT), flush=True)
-    os._exit(0)
+def _emit_final(timeout: bool = False) -> None:
+    """Print the single final JSON line exactly once (watchdog-safe)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        if timeout:
+            _RESULT["timeout"] = True
+        _RESULT["wall_s"] = round(time.time() - _T0, 1)
+        print(json.dumps(_RESULT), flush=True)
 
 
 def _arm_watchdog():
-    deadline = float(os.environ.get("SEDUMI_BENCH_DEADLINE", "3000"))
+    deadline = float(os.environ.get("SEDUMI_BENCH_DEADLINE", "1200"))
 
     def fire():
         _RESULT["examples"].setdefault(
             "_watchdog", f"deadline {deadline:.0f}s hit; partial results")
-        _emit_and_exit()
+        _emit_final(timeout=True)
+        os._exit(0)
 
     t = threading.Timer(deadline, fire)
     t.daemon = True
     t.start()
-    return t
+    return t, deadline
 
 
 def main() -> None:
+    watchdog, deadline = _arm_watchdog()
+
+    # Import AFTER the watchdog is armed: backend init is the historically
+    # wedge-prone step (round-2 bench died here with nothing emitted).
+    import numpy as np
+
     from sedumi_tpu import sedumi
     from sedumi_tpu.examples import load_example
 
-    _arm_watchdog()
-    names = os.environ.get("SEDUMI_BENCH_EXAMPLES", ALL_SIX).split(",")
+    names = [n.strip()
+             for n in os.environ.get("SEDUMI_BENCH_EXAMPLES", ALL_SIX).split(",")
+             if n.strip()]
     timed_name = os.environ.get("SEDUMI_BENCH_TIMED", "arch0")
+    # timed example first: the headline metric must exist even if the
+    # deadline fires mid-list
+    if timed_name in names:
+        names.remove(timed_name)
+        names.insert(0, timed_name)
 
     passes = 0
     attempted = 0
-    timed_iter_per_sec = 0.0
-    profile = {}
     detail = _RESULT["examples"]   # shared with the watchdog for partials
+
+    def _progress(name: str, rec: dict) -> None:
+        detail[name] = rec
+        print(json.dumps({"example": name, **rec}), file=sys.stderr, flush=True)
+
     for name in names:
-        name = name.strip()
         ex = load_example(name)
         attempted += 1
         try:
@@ -91,36 +123,29 @@ def main() -> None:
             )
             passes += int(ok)
             _RESULT["vs_baseline"] = round(passes / max(attempted, 1), 4)
-            detail[name] = {"rel": float(f"{rel:.3e}"), "iter": info["iter"],
-                            "numerr": info["numerr"],
-                            "cold_s": round(wall_cold, 1), "pass": bool(ok)}
-            print(f"# {name}: rel={rel:.2e} iter={info['iter']} "
-                  f"numerr={info['numerr']} cold={wall_cold:.1f}s pass={ok}",
-                  file=sys.stderr)
+            _progress(name, {"rel": float(f"{rel:.3e}"), "iter": info["iter"],
+                             "numerr": info["numerr"],
+                             "cold_s": round(wall_cold, 1), "pass": bool(ok)})
             if name == timed_name:
                 t0 = time.time()
                 _, _, info2 = sedumi(ex.At, ex.b, ex.c, ex.K,
                                      {"fid": 0, "profile": 1})
                 warm = time.time() - t0
-                timed_iter_per_sec = info2["iter"] / max(info2["timing"][1], 1e-9)
-                _RESULT["value"] = round(timed_iter_per_sec, 4)
+                it_s = info2["iter"] / max(info2["timing"][1], 1e-9)
+                _RESULT["value"] = round(it_s, 4)
                 _RESULT["metric"] = f"{timed_name}_ipm_iterations_per_sec"
                 profile = {k: v for k, v in info2.get("profile", {}).items()
                            if k.endswith("_ms") or k.endswith("_tflops")}
-                print(f"# {name} warm: {warm:.1f}s "
-                      f"({timed_iter_per_sec:.2f} it/s) profile={profile}",
-                      file=sys.stderr)
+                _RESULT["profile"] = profile
+                _progress(f"{name}_warm",
+                          {"warm_s": round(warm, 1),
+                           "iter_per_s": round(it_s, 3), **profile})
         except Exception as e:  # noqa: BLE001
-            detail[name] = {"error": f"{type(e).__name__}: {e}"}
-            print(f"# {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            _progress(name, {"error": f"{type(e).__name__}: {e}"})
 
-    _RESULT.update(
-        metric=f"{timed_name}_ipm_iterations_per_sec",
-        value=round(timed_iter_per_sec, 4),
-        vs_baseline=round(passes / max(attempted, 1), 4),
-        profile=profile,
-    )
-    print(json.dumps(_RESULT), flush=True)
+    _RESULT["vs_baseline"] = round(passes / max(attempted, 1), 4)
+    watchdog.cancel()
+    _emit_final()
 
 
 if __name__ == "__main__":

@@ -15,6 +15,9 @@ import scipy.sparse as sp
 EXAMPLES_DIR = os.environ.get(
     "SEDUMI_EXAMPLES_DIR", "/root/reference/examples"
 )
+# vendored small examples (quantum/arch0/trto3) live in-repo so CI's parity
+# gates run everywhere; the big ones resolve via EXAMPLES_DIR
+_VENDORED_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 # name -> known optimal value (test_sedumi.m:22-31, examples/README.md)
 KNOWN_OPTIMA = {
@@ -39,7 +42,10 @@ class ExampleProblem(NamedTuple):
 def load_example(name: str) -> ExampleProblem:
     from scipy.io import loadmat
 
-    d = loadmat(os.path.join(EXAMPLES_DIR, name + ".mat"))
+    path = os.path.join(EXAMPLES_DIR, name + ".mat")
+    if not os.path.exists(path):
+        path = os.path.join(_VENDORED_DIR, name + ".mat")
+    d = loadmat(path)
     K_struct = d["K"]
     K = {}
     for f in K_struct.dtype.names:

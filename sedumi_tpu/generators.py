@@ -76,6 +76,13 @@ def feasible_problem(
             blk = np.real(blk)
         A[:, off : off + d * d] = blk.reshape(m, -1)
         off += d * d
-    b = np.real(A @ x0) if not complex_data else A @ x0
-    c = np.conj(A).T @ y0 + z0 if complex_data else A.T @ y0 + z0
+    # Inner-product convention (sedumi.m:773-807, MATLAB x'*At): the i-th
+    # constraint imposes Re(a_i^H x) = b_i with a_i = At[:, i] — so b uses
+    # the CONJUGATED product and c = At @ y0 + z0 (dual z = c - At*y).
+    if complex_data:
+        b = np.real(np.conj(A) @ x0)
+        c = A.T @ y0 + z0
+    else:
+        b = A @ x0
+        c = A.T @ y0 + z0
     return sp.csc_matrix(A.T), np.real(b).astype(np.float64), c, K

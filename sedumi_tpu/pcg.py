@@ -117,15 +117,21 @@ def pcg(
     maxiter: int = 49,
     restol: float = 5e-3,
     stagtol: float = 5e-14,
+    abstol=0.0,
 ) -> PcgResult:
     """Preconditioned CG with double-double solution accumulation and
     best-residual fallback (wrapPcg.m:94-130, loopPcg.m:126-146).
 
     Solves matvec(x) = rhs; `precond` applies an approximate inverse
     (e.g. the possibly pivot-skipped Cholesky).  Bounded lax.while_loop:
-    stops on relative residual <= restol * ||rhs||, stagnation, or maxiter.
+    stops on residual <= max(restol * ||rhs||, abstol), stagnation, or
+    maxiter.  `abstol` carries the reference's scale-relative acceptance
+    (wrapPcg.m:46: restol = y0 * cgpars.restol is ABSOLUTE, shrinking with
+    the iterate's residual scale y0); `restol` is the engine's relative
+    floor.
     """
     bnorm = jnp.linalg.norm(rhs)
+    tol = jnp.maximum(restol * bnorm, jnp.asarray(abstol, bnorm.dtype))
 
     def cond(c):
         (x_hi, x_lo, r, p, rz, it, best_x, best_rn, done) = c
@@ -148,7 +154,7 @@ def pcg(
         better = rn < best_rn
         best_x = jnp.where(better, x_hi + x_lo, best_x)
         best_rn = jnp.where(better, rn, best_rn)
-        done = jnp.logical_or(rn <= restol * bnorm, jnp.abs(rz_new) < stagtol * bnorm**2)
+        done = jnp.logical_or(rn <= tol, jnp.abs(rz_new) < stagtol * bnorm**2)
         return (x_hi, x_lo, r, p, rz_new, it + 1, best_x, best_rn, done)
 
     r0 = rhs - matvec(x0)

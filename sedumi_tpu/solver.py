@@ -92,17 +92,40 @@ def solve_internal(
     # make ADA dense; small m makes dense cheapest) stays dense.
     engine_kind = "dense"
     sp_plan = None
-    if not layout.s and (pars.sparse == 1
-                         or (pars.sparse == -1 and m >= 800)):
-        from .sparse_engine import plan_sparse_lq
+    if pars.sparse == 1 or (pars.sparse == -1 and m >= 800):
+        do_plan = True
+        if layout.s and pars.sparse != 1:
+            # Cheap clique bound BEFORE the full symbolic phase: every PSD
+            # block's touching-constraint set is an ADA clique, so
+            # sum(nc_b^2) lower-bounds the pattern nnz.  Skip the (host)
+            # symbolic work when the pattern is provably dense — typical
+            # for small-block SDPs where every constraint hits the one big
+            # block (arch0/trto3/OH stay on the dense engine).
+            s_start = layout.s_start
+            s_offs = layout.s_offsets()
+            rows_all = At.indices
+            cols_all = np.repeat(np.arange(m), np.diff(At.indptr))
+            in_s = rows_all >= s_start
+            if np.any(in_s):
+                blk = np.searchsorted(s_offs, rows_all[in_s],
+                                      side="right") - 1
+                pairs = np.unique(cols_all[in_s].astype(np.int64)
+                                  * max(len(layout.s), 1) + blk)
+                nc = np.bincount((pairs % max(len(layout.s), 1)).astype(int),
+                                 minlength=len(layout.s))
+                est_nnz = float(np.sum(nc.astype(np.float64) ** 2))
+                if est_nnz > 0.35 * m * m:
+                    do_plan = False
+        if do_plan:
+            from .sparse_engine import plan_sparse_lq
 
-        sp_arrays, sp_meta = plan_sparse_lq(At, c_s, layout, pars)
-        if pars.sparse == 1 or sp_meta["ada_density"] <= 0.35:
-            engine_kind = "sparse"
-            sp_plan = (sp_arrays, sp_meta)
-            _log(pars, f"sparse Schur path: ADA nnz {sp_meta['ada_nnz']} "
-                       f"(density {sp_meta['ada_density']:.3f}), "
-                       f"{sp_meta['Kd']} dense column(s)")
+            sp_arrays, sp_meta = plan_sparse_lq(At, c_s, layout, pars)
+            if pars.sparse == 1 or sp_meta["ada_density"] <= 0.35:
+                engine_kind = "sparse"
+                sp_plan = (sp_arrays, sp_meta)
+                _log(pars, f"sparse Schur path: ADA nnz {sp_meta['ada_nnz']} "
+                           f"(density {sp_meta['ada_density']:.3f}), "
+                           f"{sp_meta['Kd']} dense column(s)")
 
     def _mk_op(dtype, device=None):
         if engine_kind == "sparse":
@@ -110,6 +133,27 @@ def solve_internal(
 
             return make_sparse_lq_op(*sp_plan, dtype=dtype, device=device)
         return build_coo_aop(At, c_s, layout, dtype=dtype, device=device)
+
+    # --- device mesh (pars.mesh_shape): one mesh shared by the cone-block
+    # data sharding and the panel engine.  Multi-axis dicts (e.g.
+    # {"hosts": 2, "blocks": 4}) build a 2-D mesh — "hosts" models the DCN
+    # dimension, trailing axes ICI (SURVEY.md section 5 distributed
+    # backend); cone blocks shard over every non-"panels" axis.
+    _mesh = None
+    _data_axes: tuple = ()
+    if pars.mesh_shape:
+        n_req = int(np.prod(list(pars.mesh_shape.values())))
+        if n_req > 1 and len(jax.devices()) >= n_req:
+            from .parallel import make_mesh
+
+            if len(pars.mesh_shape) > 1:
+                _mesh = make_mesh(shape=pars.mesh_shape)
+                _data_axes = tuple(k for k in pars.mesh_shape
+                                   if k != "panels")
+            else:
+                _mesh = make_mesh(n_req)
+                _data_axes = () if "panels" in pars.mesh_shape \
+                    else ("blocks",)
 
     def _mk_engine(host: bool = False):
         if engine_kind == "sparse":
@@ -120,15 +164,13 @@ def solve_internal(
         # axis): the Schur complement is reduce-scattered into row panels
         # and factored/solved distributed (parallel.panels).  Device phases
         # only — the host-CPU fallback stays replicated.
-        if not host and pars.mesh_shape and "panels" in pars.mesh_shape:
-            n_req = int(np.prod(list(pars.mesh_shape.values())))
-            if n_req > 1 and len(jax.devices()) >= n_req:
-                from .parallel import make_mesh
-                from .parallel.panels import PanelSchurEngine
+        if not host and _mesh is not None and "panels" in pars.mesh_shape:
+            from .parallel.panels import PanelSchurEngine
 
-                return PanelSchurEngine(
-                    make_mesh(n_req),
-                    refine_iters=max(2, int(pars.cg.refine)))
+            axis = "panels" if "panels" in _mesh.shape else "blocks"
+            return PanelSchurEngine(
+                _mesh, axis=axis,
+                refine_iters=max(2, int(pars.cg.refine)))
         return None
     # Precision regime (fp.precision_mode): 'mixed' runs f32 iterations
     # while they progress, then escalates to the ON-DEVICE HYBRID endgame
@@ -156,16 +198,15 @@ def solve_internal(
 
     def _maybe_shard(a):
         # multi-chip: shard the accelerator operator's cone-block axis over
-        # the requested mesh (pars.mesh_shape, e.g. {"blocks": 8})
-        if not (pars.mesh_shape and engine_kind == "dense"):
+        # the requested mesh (pars.mesh_shape, e.g. {"blocks": 8} or the
+        # 2-axis multi-host form {"hosts": 2, "blocks": 4})
+        if not (_mesh is not None and _data_axes and engine_kind == "dense"):
             return a
-        from .parallel import make_mesh
         from .parallel.mesh import shard_coo_aop
 
-        n_req = int(np.prod(list(pars.mesh_shape.values())))
-        if n_req > 1 and len(jax.devices()) >= n_req:
-            a = shard_coo_aop(a, make_mesh(n_req))
-            _log(pars, f"sharded operator over {n_req}-device mesh")
+        axis = _data_axes if len(_data_axes) > 1 else _data_axes[0]
+        a = shard_coo_aop(a, _mesh, axis=axis)
+        _log(pars, f"sharded operator over mesh {dict(_mesh.shape)}")
         return a
 
     # --- precision phases (each: step fn, operators, data, device) --------
@@ -179,7 +220,14 @@ def solve_internal(
         # relative products at f32 bandwidth — the quadadd.c role on this
         # hardware.  The sparse engine keeps the emulated-f64 COO operator
         # (its products are nnz-bound and cheap).
-        if engine_kind == "dense":
+        # Gate the dense df operator on the OPERATOR's own density, not the
+        # engine choice: the dense-engine path is selected by ADA density,
+        # which is routinely dense even when A itself is very sparse
+        # (e.g. a sparse SDP), and the bucketed DfAOp stores O(m*N) hi+lo
+        # — a memory blow-up the COO f64 operator avoids.  Emulated-f64
+        # COO products are nnz-bound elementwise ops, cheap on device.
+        a_density = At.nnz / max(1, At.shape[0] * At.shape[1])
+        if engine_kind == "dense" and a_density > 0.1:
             from .df import build_df_aop
 
             aop64d = build_df_aop(At, c_s, layout)
@@ -790,7 +838,10 @@ def dimacs_errors(A, b, c, K, x, y) -> dict[str, Any]:
         A = A.T
     x = np.asarray(x).ravel()
     y = np.asarray(y).ravel()
-    z = c - A.conj().T @ y
+    # dual slack exactly as the reference: z = c - At*y (sedumi.m:775; no
+    # extra conjugation — the constraint functional is Re(a_i^H x), whose
+    # gradient in the real inner product <u,v> = Re(u^H v) is a_i itself)
+    z = c - A.T @ y
 
     normb = 1.0 + np.max(np.abs(b)) if b.size else 1.0
     normc = 1.0 + np.max(np.abs(c)) if c.size else 1.0
@@ -798,7 +849,18 @@ def dimacs_errors(A, b, c, K, x, y) -> dict[str, Any]:
     by = np.real(np.vdot(b, y))
     denom_g = 1.0 + abs(cx) + abs(by)
 
-    err1 = np.linalg.norm(A @ x - b) / normb
+    # primal residual of what was actually IMPOSED: rows listed in
+    # K.ycomplex are full complex equalities; every other row constrains
+    # only Re(a_i^H x).  (Deviation from sedumi.m:784, which measures the
+    # full complex residual and thereby double-counts imaginary parts the
+    # problem never constrained.)
+    res = np.conj(A) @ x - b if np.iscomplexobj(x) or np.iscomplexobj(
+        A.data if sp.issparse(A) else A) else A @ x - b
+    if np.iscomplexobj(res):
+        yc = np.zeros(b.size, bool)
+        yc[[i - 1 for i in K.ycomplex]] = True
+        res = np.where(yc, np.abs(res), np.abs(np.real(res)))
+    err1 = np.linalg.norm(res) / normb
     lab_x = eigK(x, K)
     err2 = max(0.0, -float(np.min(lab_x)) if lab_x.size else 0.0) / normb
     err3 = 0.0  # z defined as c - A'y exactly

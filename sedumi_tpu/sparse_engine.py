@@ -62,7 +62,8 @@ class SparseLqOp:
     """
 
     ARRAY_FIELDS = (
-        # augmented [A; c'] COO over the internal flat vector (l then q)
+        # augmented [A; c'] COO over the internal flat vector (l, q, then
+        # PSD buckets in bucket-local symmetrized coordinates)
         "a_row", "a_col", "a_val",
         # diag-weight pair triples -> ADA lower nz values
         "pr_dst", "pr_w", "pr_prod",
@@ -85,18 +86,27 @@ class SparseLqOp:
         # permutation (new->old) and inverse, device copies
         "perm", "iperm",
     )
+    # per-PSD-bucket arrays (tuples, one entry per bucket in layout order):
+    #  sg_*   -- (constraint, block) groups for the scaled-operator build
+    #            B~_g = W_blk A_i^blk W_blk  (padded [G, pad2] index/value)
+    #  sp_*   -- pair gathers  vals[sp_dst] += B~flat[sp_g, sp_loc] * sp_val
+    #            (the getada3.c per-pair incremental product, sparse output)
+    TUPLE_FIELDS = ("sg_blk", "sg_p", "sg_q", "sg_v",
+                    "sp_dst", "sp_g", "sp_loc", "sp_val")
 
     def __init__(self, arrays: dict, meta: dict):
         self.arrays = dict(arrays)
         self.meta = dict(meta)
 
     def tree_flatten(self):
-        children = tuple(self.arrays[k] for k in self.ARRAY_FIELDS)
+        children = (tuple(self.arrays[k] for k in self.ARRAY_FIELDS)
+                    + tuple(tuple(self.arrays[k]) for k in self.TUPLE_FIELDS))
         return children, tuple(sorted(self.meta.items()))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(dict(zip(cls.ARRAY_FIELDS, children)), dict(aux))
+        names = cls.ARRAY_FIELDS + cls.TUPLE_FIELDS
+        return cls(dict(zip(names, children)), dict(aux))
 
     # --- operator interface -------------------------------------------------
     @property
@@ -104,7 +114,8 @@ class SparseLqOp:
         return self.meta["m"]
 
     def _flatten_cv(self, x: ConeVec) -> jax.Array:
-        parts = [x.l] + [a.reshape(-1) for a in x.q]
+        parts = ([x.l] + [a.reshape(-1) for a in x.q]
+                 + [a.reshape(-1) for a in x.s])
         return jnp.concatenate(parts) if parts else x.l
 
     def _unflatten_cv(self, flat: jax.Array) -> ConeVec:
@@ -115,7 +126,11 @@ class SparseLqOp:
         for (c, d) in self.meta["q_shapes"]:
             q.append(flat[off:off + c * d].reshape(c, d))
             off += c * d
-        return ConeVec(l=l, q=tuple(q), s=())
+        s = []
+        for (k, d) in self.meta["s_shapes"]:
+            s.append(flat[off:off + k * d * d].reshape(k, d, d))
+            off += k * d * d
+        return ConeVec(l=l, q=tuple(q), s=tuple(s))
 
     def apply(self, x: ConeVec) -> jax.Array:
         xf = self._flatten_cv(x)
@@ -185,6 +200,35 @@ class TileSchurEngine:
             vals = vals + jax.ops.segment_sum(
                 2.0 * eta2_flat[arr["p2_c"]] * u[arr["p2_a"]] * u[arr["p2_b"]],
                 arr["p2_dst"], num_segments=nnz_l)
+
+        # --- PSD contributions (getada3.c + spscale.c economics, sparse
+        # output): per bucket, build B~_g = W_blk A_i^blk W_blk for every
+        # (constraint, block) incidence group as batched outer-product
+        # GEMMs, then gather per lower-nz pair
+        #   M[i,j] += sum_t v_t(A_gather) * B~[g(other)][p_t, q_t].
+        for bi, (k, d) in enumerate(meta["s_shapes"]):
+            G = meta["s_G"][bi]
+            if not G:
+                continue
+            r = S.s_r[bi]
+            W = jnp.einsum("kab,kcb->kac", r, r)            # [k,d,d]
+            gblk = arr["sg_blk"][bi]
+            gp, gq, gv = arr["sg_p"][bi], arr["sg_q"][bi], arr["sg_v"][bi]
+            pad2 = gp.shape[1]
+            # chunk groups so the [g, pad2, d] temporaries stay bounded
+            gchunk = max(1, int(6e7 // max(pad2 * d, 1)))
+            Bgf = jnp.zeros((G, d * d), dtype)
+            for st in range(0, G, gchunk):
+                en = min(st + gchunk, G)
+                blkc = gblk[st:en]
+                wp = W[blkc[:, None], :, gp[st:en]] * gv[st:en][..., None]
+                wq = W[blkc[:, None], gq[st:en], :]
+                bg = jnp.einsum("gtd,gte->gde", wp, wq)      # [g,d,d]
+                Bgf = jax.lax.dynamic_update_slice(
+                    Bgf, bg.reshape(en - st, d * d), (st, 0))
+            vals = vals + jax.ops.segment_sum(
+                Bgf[arr["sp_g"][bi], arr["sp_loc"][bi]] * arr["sp_val"][bi],
+                arr["sp_dst"][bi], num_segments=nnz_l)
 
         # --- assemble + tile factorization --------------------------------
         B = meta["B"]
@@ -279,8 +323,22 @@ class TileSchurEngine:
 
         x0 = self._direct(ctx, rhs)
         cg = self.pars.cg
+        # pars.cg.restol keeps the reference's semantics (wrapPcg.m:46):
+        # the acceptance is ABSOLUTE, restol * y0 where y0 is the iterate's
+        # residual scale — here approximated by mu = mean(lam^2) of the NT
+        # scaled point (both decay to 0 along the central path).  A fixed
+        # relative floor of 1e-9 * ||rhs|| keeps the endgame directions
+        # accurate once mu is below roundoff scale.
+        S = ctx.S
+        lam2 = (jnp.vdot(S.lam_l, S.lam_l)
+                + sum(jnp.vdot(q, q) for q in S.q_lam)
+                + sum(jnp.vdot(sg, sg) for sg in S.s_lam))
+        nspec = (S.lam_l.size + sum(q.size for q in S.q_lam)
+                 + sum(sg.size for sg in S.s_lam))
+        mu = lam2 / max(nspec, 1)
         res = pcg(matvec, lambda r: self._direct(ctx, r), rhs, x0,
-                  maxiter=int(cg.maxiter), restol=float(cg.restol) * 1e-6,
+                  maxiter=int(cg.maxiter), restol=1e-9,
+                  abstol=float(cg.restol) * mu,
                   stagtol=float(cg.stagtol))
         return res.x
 
@@ -295,13 +353,40 @@ def plan_sparse_lq(At: sp.spmatrix, c: np.ndarray, layout: Layout,
     and the value-gather maps replacing getada1/2.c's runtime loops.
     """
     N, m = At.shape
-    assert N == layout.N and not layout.s
-    aug = sp.hstack([sp.csc_matrix(At),
-                     sp.csc_matrix(np.asarray(c, np.float64).reshape(-1, 1))]
-                    ).T.tocsc()           # [m+1, N] csc: fast column access
+    assert N == layout.N
+    aug0 = sp.hstack([sp.csc_matrix(At),
+                      sp.csc_matrix(np.asarray(c, np.float64).reshape(-1, 1))]
+                     ).T.tocsc()          # [m+1, N] csc: fast column access
     nl = layout.l
+    nq = int(sum(layout.q))
     q_shapes = tuple((b.count, b.dim) for b in layout.q_buckets)
+    s_shapes = tuple((b.count, b.dim) for b in layout.s_buckets)
     q_offs = layout.q_offsets()           # flat start of each layout block
+    # PSD columns: reorder to bucket-local flat and symmetrize per block
+    # (X -> (X+X')/2 in the d x d coordinates, the vecsym.c role) so the
+    # operator's adjoint lands symmetric s blocks and Schur pair products
+    # see both triangles.
+    s_offs = layout.s_offsets()
+    aug_parts = [aug0[:, :nl + nq]]
+    for b in layout.s_buckets:
+        k, d = b.count, b.dim
+        cols = (np.concatenate([s_offs[i] + np.arange(d * d)
+                                for i in b.block_ids])
+                if k else np.zeros(0, np.int64))
+        sub = aug0[:, cols].tocoo()
+        loc = sub.col.astype(np.int64)
+        blk = loc // (d * d)
+        p = (loc % (d * d)) // d
+        qq = loc % d
+        M2 = sp.coo_matrix(
+            (np.concatenate([sub.data, sub.data]) * 0.5,
+             (np.concatenate([sub.row, sub.row]),
+              np.concatenate([blk, blk]) * d * d
+              + np.concatenate([p, qq]) * d + np.concatenate([qq, p]))),
+            shape=(m + 1, k * d * d)).tocsr()
+        M2.sum_duplicates()
+        aug_parts.append(M2)
+    aug = sp.hstack(aug_parts).tocsc() if len(aug_parts) > 1 else aug0
 
     def col_support(j):
         sl = slice(aug.indptr[j], aug.indptr[j + 1])
@@ -342,6 +427,49 @@ def plan_sparse_lq(At: sp.spmatrix, c: np.ndarray, layout: Layout,
                 base_col=base, d=d, cols=cols, union=union,
             ))
 
+    # --- PSD incidences: (constraint, block) groups per bucket -------------
+    # Reference analog: findblks.c (which PSD blocks each constraint
+    # touches) + incorder.c's grouping; pattern-wise every block's touching
+    # set is a clique in ADA (getsymbada.m:41-60 behavior), since
+    # <A_i, W A_j W> is generically nonzero whenever i and j share a block.
+    s_host = []
+    s_col0 = nl + nq
+    for bi, b in enumerate(layout.s_buckets):
+        k, d = b.count, b.dim
+        ncols = k * d * d
+        sub = aug[:, s_col0:s_col0 + ncols].tocoo()
+        s_col0 += ncols
+        keep = sub.row < m                # the c row never enters ADA
+        rows_s = sub.row[keep].astype(np.int64)
+        loc_s = sub.col[keep].astype(np.int64)
+        val_s = sub.data[keep]
+        blk = loc_s // (d * d)
+        pq = loc_s % (d * d)
+        keys = rows_s * k + blk
+        order = np.argsort(keys, kind="stable")
+        rows_o, blk_o = rows_s[order], blk[order]
+        pq_o, val_o = pq[order], val_s[order]
+        T = rows_o.size
+        uk, start = (np.unique(keys[order], return_index=True)
+                     if T else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+        counts_g = np.diff(np.concatenate([start, [T]]))
+        G = uk.size
+        pad2 = int(counts_g.max()) if G else 1
+        gp_a = np.zeros((G, pad2), np.int32)
+        gq_a = np.zeros((G, pad2), np.int32)
+        gv_a = np.zeros((G, pad2), np.float64)
+        if G:
+            gidx = np.repeat(np.arange(G), counts_g)
+            posg = np.arange(T) - np.repeat(start, counts_g)
+            gp_a[gidx, posg] = (pq_o // d).astype(np.int32)
+            gq_a[gidx, posg] = (pq_o % d).astype(np.int32)
+            gv_a[gidx, posg] = val_o
+        s_host.append(dict(
+            k=k, d=d, G=int(G), pad2=pad2,
+            g_row=rows_o[start], g_blk=blk_o[start].astype(np.int32),
+            gp=gp_a, gq=gq_a, gv=gv_a,
+            counts=counts_g, start=start, pq=pq_o, val=val_o))
+
     # --- dense-column detection (getdense.m:41-99 quantile rule) -----------
     counts = np.array([r.size for _, r, _ in lp_groups]
                       + [g["union"].size for g in cone_groups], np.int64)
@@ -378,6 +506,13 @@ def plan_sparse_lq(At: sp.spmatrix, c: np.ndarray, layout: Layout,
         rows_inc.append(g["union"])
         cols_inc.append(np.full(g["union"].size, gid))
         gid += 1
+    for bh in s_host:
+        # every PSD block's touching-constraint set is one pattern clique
+        for bk in np.unique(bh["g_blk"]):
+            members = bh["g_row"][bh["g_blk"] == bk]
+            rows_inc.append(members)
+            cols_inc.append(np.full(members.size, gid))
+            gid += 1
     if rows_inc:
         inc = sp.csr_matrix(
             (np.ones(sum(r.size for r in rows_inc), np.int8),
@@ -454,6 +589,46 @@ def plan_sparse_lq(At: sp.spmatrix, c: np.ndarray, layout: Layout,
         p2_c.append(np.full(ia.size, g["flat_cone"], np.int64))
         uoff += s
 
+    # --- PSD pair gathers ----------------------------------------------------
+    # For each lower nz (i,j) and shared block: gather the SMALLER side's
+    # entries against the other side's scaled operator B~ (both orders give
+    # <A_i, W A_j W>; picking the sparser gather side halves the work —
+    # the sortnnz.c economics).
+    def cat(parts, dt):
+        return (np.concatenate(parts).astype(dt) if parts
+                else np.zeros(0, dt))
+
+    sg_blk_b, sg_p_b, sg_q_b, sg_v_b = [], [], [], []
+    sp_dst_b, sp_g_b, sp_loc_b, sp_val_b = [], [], [], []
+    for bh in s_host:
+        dsts, ggs, lls, vvs = [], [], [], []
+        gb = bh["g_blk"]
+        gr = bh["g_row"]
+        cnt = bh["counts"]
+        st_ = bh["start"]
+        for bk in np.unique(gb):
+            gis = np.nonzero(gb == bk)[0]
+            for ai in range(gis.size):
+                for bj in range(ai, gis.size):
+                    g1, g2 = int(gis[ai]), int(gis[bj])
+                    r1, r2 = int(gr[g1]), int(gr[g2])
+                    gat, oth = (g1, g2) if cnt[g1] <= cnt[g2] else (g2, g1)
+                    sl = slice(int(st_[gat]), int(st_[gat] + cnt[gat]))
+                    n_t = int(cnt[gat])
+                    dsts.append(np.full(
+                        n_t, nzid[(max(r1, r2), min(r1, r2))], np.int64))
+                    ggs.append(np.full(n_t, oth, np.int64))
+                    lls.append(bh["pq"][sl])
+                    vvs.append(bh["val"][sl])
+        sg_blk_b.append(bh["g_blk"])
+        sg_p_b.append(bh["gp"])
+        sg_q_b.append(bh["gq"])
+        sg_v_b.append(bh["gv"])
+        sp_dst_b.append(cat(dsts, np.int32))
+        sp_g_b.append(cat(ggs, np.int32))
+        sp_loc_b.append(cat(lls, np.int32))
+        sp_val_b.append(cat(vvs, np.float64))
+
     # --- dense columns -> Woodbury bundle -----------------------------------
     ud_cols = []       # (static base values over rows<m, wslot, r1c, udu?)
     udu = []           # (row, colidx, wb_slot, val) for per-iteration u cols
@@ -473,10 +648,6 @@ def plan_sparse_lq(At: sp.spmatrix, c: np.ndarray, layout: Layout,
             for rr, vv in zip(rows, vals):
                 udu.append((int(rr), ucol_idx, g["wb0"] + j, float(vv)))
         ud_cols.append((np.zeros(m), 0, g["flat_cone"]))
-
-    def cat(parts, dt):
-        return (np.concatenate(parts).astype(dt) if parts
-                else np.zeros(0, dt))
 
     aug_coo = aug.tocoo()
     order = np.argsort(aug_coo.row, kind="stable")
@@ -505,13 +676,22 @@ def plan_sparse_lq(At: sp.spmatrix, c: np.ndarray, layout: Layout,
         pmask=np.asarray(plan.pmask), orow=np.asarray(plan.orow),
         lv_cols=np.asarray(plan.lv_cols), lv_cmask=np.asarray(plan.lv_cmask),
         perm=plan.perm.astype(np.int32), iperm=iperm0.astype(np.int32),
+        sg_blk=tuple(sg_blk_b), sg_p=tuple(sg_p_b), sg_q=tuple(sg_q_b),
+        sg_v=tuple(sg_v_b),
+        sp_dst=tuple(sp_dst_b), sp_g=tuple(sp_g_b), sp_loc=tuple(sp_loc_b),
+        sp_val=tuple(sp_val_b),
     )
     meta = dict(
-        m=m, nl=nl, nflat=nl + int(sum(layout.q)), q_shapes=q_shapes,
+        m=m, nl=nl,
+        nflat=nl + int(sum(layout.q)) + int(sum(
+            k_ * d_ * d_ for (k_, d_) in s_shapes)),
+        q_shapes=q_shapes, s_shapes=s_shapes,
+        s_G=tuple(bh["G"] for bh in s_host),
         nnz_l=int(nnz_l), n_uflat=int(uoff), Kd=len(ud_cols),
         n_udu=len(udu), B=B, ntc=plan.ntc, nslot=plan.nslot,
         ntiles_n=plan.n, npad=int(plan.n - m), nlev=plan.nlev,
         ada_nnz=int(pattern.nnz), ada_density=float(pattern.nnz) / max(m * m, 1),
+        psd_pair_entries=int(sum(a.size for a in sp_val_b)),
     )
     return arrays, meta
 
@@ -521,8 +701,14 @@ def make_sparse_lq_op(arrays: dict, meta: dict, dtype=np.float64,
     """Instantiate device arrays for one dtype/device from a host plan."""
     _place = (lambda a: jax.device_put(a, device)) if device is not None \
         else jnp.asarray
-    float_fields = {"a_val", "pr_prod", "u_val", "ud_base", "udu_val"}
+    float_fields = {"a_val", "pr_prod", "u_val", "ud_base", "udu_val",
+                    "sg_v", "sp_val"}
     out = {}
+    for k in SparseLqOp.TUPLE_FIELDS:
+        parts = arrays[k]
+        out[k] = tuple(
+            _place(np.asarray(a, dtype) if k in float_fields else a)
+            for a in parts)
     for k in SparseLqOp.ARRAY_FIELDS:
         a = arrays[k]
         if k in float_fields:
@@ -530,4 +716,6 @@ def make_sparse_lq_op(arrays: dict, meta: dict, dtype=np.float64,
         out[k] = _place(a)
     meta = dict(meta)
     meta["q_shapes"] = tuple(tuple(s) for s in meta["q_shapes"])
+    meta["s_shapes"] = tuple(tuple(s) for s in meta["s_shapes"])
+    meta["s_G"] = tuple(meta["s_G"])
     return SparseLqOp(out, meta)

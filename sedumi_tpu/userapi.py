@@ -48,10 +48,17 @@ def eigK(x: np.ndarray, K) -> np.ndarray:
         lab.append(np.array([tmp * (x0 - nb), tmp * (x0 + nb)]))
         off += d
     for d in K.r:
+        # Rotated cone 2*x1*x2 >= ||xbar||^2 (sedumi.m:73-75): spectral
+        # values via the orthogonal rotation to Lorentz
+        # (pretransfo.m:408-432), lab = 0.5*(x1+x2 -/+ sqrt((x1-x2)^2
+        # + 2||xbar||^2)) — zero exactly on the cone boundary.  NOTE the
+        # reference's eigK.m:110 uses 2*xbar here, inconsistent with its
+        # own pretransfo rotation (boundary points of K.r would grade
+        # strictly infeasible); we keep the rotation-consistent factor.
         x1, x2 = np.real(x[off]), np.real(x[off + 1])
-        nb = np.linalg.norm(
-            np.concatenate([[x1 - x2], 2.0 * np.atleast_1d(x[off + 2 : off + d])])
-        )
+        nb = np.linalg.norm(np.concatenate(
+            [[x1 - x2],
+             np.sqrt(2.0) * np.atleast_1d(x[off + 2 : off + d])]))
         lab.append(np.array([0.5 * (x1 + x2 - nb), 0.5 * (x1 + x2 + nb)]))
         off += d
     herm = set(K.scomplex)

@@ -23,7 +23,11 @@ from sedumi_tpu.examples import load_example
 
 
 def _solve_and_check(name: str, tol: float = 1e-6):
-    ex = load_example(name)
+    try:
+        ex = load_example(name)
+    except FileNotFoundError:
+        pytest.skip(f"{name}.mat not available (not vendored; set "
+                    "SEDUMI_EXAMPLES_DIR)")
     x, y, info = sedumi(ex.At, ex.b, ex.c, ex.K, {"fid": 0})
     assert info["pinf"] == 0 and info["dinf"] == 0
     assert info["numerr"] < 2

@@ -145,3 +145,70 @@ def test_sparse_lp_20k(rng):
     x, y, info = sedumi(A, b, c, K, {"fid": 1, "optstep": 0})
     assert info["lin_engine"] == "sparse"
     assert max(info["err"]) < 1e-7, info["err"]
+
+
+def _random_sparse_sdp(m, nb, d, rng, touch=2):
+    """Feasible sparse SDP: nb PSD blocks of dim d, each constraint touching
+    `touch` blocks with a few symmetric entries — ADA is sparse because each
+    block is shared by only ~m*touch/nb constraints (small cliques)."""
+    n = nb * d * d
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        blks = rng.choice(nb, size=touch, replace=False)
+        for bk in blks:
+            # 2 random symmetric entries + a diagonal anchor
+            p = int(rng.integers(0, d))
+            q = int(rng.integers(0, d))
+            v = float(rng.standard_normal())
+            base = bk * d * d
+            ent = {(p, q): 0.5 * v, (q, p): 0.5 * v} if p != q else {(p, p): v}
+            dg = int(rng.integers(0, d))
+            ent[(dg, dg)] = ent.get((dg, dg), 0.0) + float(
+                rng.standard_normal())
+            for (a, bq_), vv in ent.items():
+                rows.append(i)
+                cols.append(base + a * d + bq_)
+                vals.append(vv)
+    A = sp.csc_matrix((vals, (rows, cols)), shape=(m, n))
+    x0 = np.tile(np.eye(d).ravel(), nb)               # identity blocks
+    b = A @ x0
+    y0 = rng.standard_normal(m) * 0.1
+    z0 = np.tile((np.eye(d) * 1.5).ravel(), nb)
+    c = A.T @ y0 + z0                                 # strictly feasible dual
+    return A, b, c, {"s": [d] * nb}
+
+
+def test_sparse_sdp_routes_and_solves(rng):
+    """PSD cones through the tile engine (VERDICT round-2 item 3): sparse
+    ADA formed from per-pair scaled products (getada3.c role)."""
+    m = 1200
+    A, b, c, K = _random_sparse_sdp(m, 600, 4, rng)
+    x, y, info = sedumi(A, b, c, K, {"fid": 0, "optstep": 0})
+    assert info["lin_engine"] == "sparse", info
+    assert info["pinf"] == 0 and info["dinf"] == 0
+    assert max(info["err"]) < 1e-7, info["err"]
+    assert np.linalg.norm(A @ x - b) / (1 + np.abs(b).max()) < 1e-7
+
+
+def test_sparse_sdp_matches_dense(rng):
+    m = 900
+    A, b, c, K = _random_sparse_sdp(m, 450, 3, rng)
+    xs, ys, infos = sedumi(A, b, c, K, {"fid": 0, "sparse": 1, "optstep": 0})
+    xd, yd, infod = sedumi(A, b, c, K, {"fid": 0, "sparse": 0, "optstep": 0})
+    assert infos["lin_engine"] == "sparse"
+    assert infod["lin_engine"] == "dense"
+    cs = float(c @ xs)
+    cd = float(c @ xd)
+    assert abs(cs - cd) <= 1e-6 * (1 + abs(cd)), (cs, cd)
+
+
+@pytest.mark.slow
+def test_sparse_sdp_5k(rng):
+    """VERDICT round-2 item-3 'done' gate: a synthetic sparse SDP with
+    m >= 5000 solves to 1e-8 through lin_engine == 'sparse' (the dense path
+    would form a 200 MB Schur matrix and pay O(m^3))."""
+    m = 5000
+    A, b, c, K = _random_sparse_sdp(m, 2500, 4, rng)
+    x, y, info = sedumi(A, b, c, K, {"fid": 1, "optstep": 0})
+    assert info["lin_engine"] == "sparse", info
+    assert max(info["err"]) < 1e-7, info["err"]
