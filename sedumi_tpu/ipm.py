@@ -326,8 +326,9 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             sdt = pars.schur_dtype
         engine = DenseSchurEngine(qprec=int(pars.cg.qprec), schur_dtype=sdt,
                                   chol_pars=pars.chol)
-    if hybrid and isinstance(engine, DenseSchurEngine) \
+    if hybrid and hasattr(engine, "factor_dtype") \
             and engine.factor_dtype is None:
+        # dense AND panel engines: f64 factor of the f32-formed matrix
         engine.factor_dtype = dtype
 
     def lo(t):

@@ -31,11 +31,32 @@ from ..structs import ConeVec
 BLOCK_AXIS = "blocks"
 
 
-def make_mesh(n_devices: int | None = None, axis: str = BLOCK_AXIS) -> Mesh:
+def make_mesh(n_devices: int | None = None, axis: str = BLOCK_AXIS,
+              shape: dict | None = None) -> Mesh:
+    """Flat 1-axis mesh, or a multi-axis mesh from an ordered shape dict.
+
+    Multi-host plan (SURVEY.md section 5, distributed backend): a leading
+    "hosts" axis maps to the DCN dimension and trailing axes to ICI —
+    e.g. shape={"hosts": 2, "blocks": 4}.  Cone blocks shard over ALL
+    data axes (the per-block kernels are embarrassingly parallel; the one
+    ADA reduction becomes a hierarchical psum, ICI-first then DCN, by
+    XLA's collective lowering on the 2-D mesh).  The Schur-panel engine
+    takes a single named axis (keep panels on an ICI axis — its per-column
+    all-gathers are latency-sensitive)."""
+    if shape:
+        dims = tuple(int(v) for v in shape.values())
+        devs = jax.devices()[: int(np.prod(dims))]
+        return Mesh(np.array(devs).reshape(dims), tuple(shape.keys()))
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def _nshards(mesh: Mesh, axis) -> int:
+    if isinstance(axis, (tuple, list)):
+        return int(np.prod([mesh.shape[a] for a in axis]))
+    return mesh.shape[axis]
 
 
 def _put(x, mesh: Mesh, spec: P):
@@ -46,14 +67,15 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: _put(x, mesh, P()), tree)
 
 
-def shard_aop(aop: DenseAOp, mesh: Mesh, axis: str = BLOCK_AXIS) -> DenseAOp:
+def shard_aop(aop: DenseAOp, mesh: Mesh, axis=BLOCK_AXIS) -> DenseAOp:
     """Shard the cone-block axis of the bucketed operator.
 
     Al [m+1, nl] is replicated (LP part is cheap); Aq [m+1, count, d] and
     As [m+1, count, d, d] are sharded along `count` when it divides the
-    mesh, replicated otherwise.
+    mesh, replicated otherwise.  `axis` may be a tuple of mesh axes (2-D
+    hosts x blocks mesh): blocks then shard over their product.
     """
-    n = mesh.shape[axis]
+    n = _nshards(mesh, axis)
 
     def spec(count):
         # operators are flat [m+1, count*inner]; splitting the flat column
@@ -71,14 +93,14 @@ def shard_aop(aop: DenseAOp, mesh: Mesh, axis: str = BLOCK_AXIS) -> DenseAOp:
     )
 
 
-def shard_coo_aop(aop, mesh: Mesh, axis: str = BLOCK_AXIS):
+def shard_coo_aop(aop, mesh: Mesh, axis=BLOCK_AXIS):
     """Shard a CooAOp's dense buckets over the block axis; COO-represented
     buckets are replicated (their segment-sum Schur formation is already a
     single reduction; sharding the gather axis has no win at current scale).
     """
     from ..opA import CooAOp
 
-    n = mesh.shape[axis]
+    n = _nshards(mesh, axis)
 
     def spec(count):
         if count and count % n == 0:
@@ -100,8 +122,8 @@ def shard_coo_aop(aop, mesh: Mesh, axis: str = BLOCK_AXIS):
     )
 
 
-def shard_conevec(v: ConeVec, mesh: Mesh, axis: str = BLOCK_AXIS) -> ConeVec:
-    n = mesh.shape[axis]
+def shard_conevec(v: ConeVec, mesh: Mesh, axis=BLOCK_AXIS) -> ConeVec:
+    n = _nshards(mesh, axis)
 
     def spec(count, trailing):
         if count and count % n == 0:
@@ -115,7 +137,7 @@ def shard_conevec(v: ConeVec, mesh: Mesh, axis: str = BLOCK_AXIS) -> ConeVec:
     )
 
 
-def shard_state(state: IPMState, mesh: Mesh, axis: str = BLOCK_AXIS) -> IPMState:
+def shard_state(state: IPMState, mesh: Mesh, axis=BLOCK_AXIS) -> IPMState:
     return IPMState(
         x=shard_conevec(state.x, mesh, axis),
         y=_put(state.y, mesh, P()),

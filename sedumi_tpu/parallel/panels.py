@@ -22,9 +22,12 @@ workload; this module is its TPU realization:
   substitution where each step solves on the owning device and broadcasts
   the bs-sized result with a masked psum (fwblkslv.c/bwblkslv.c roles).
 
-Panels are CONTIGUOUS (device d owns block rows [d*nb_loc, (d+1)*nb_loc)):
-simple and correct; a block-cyclic layout would improve late-stage load
-balance by ~2x and is the natural next step.
+Factor ownership is BLOCK-CYCLIC (natural block row k lives on device
+k mod n, local slot k // n): every elimination step's trailing update is
+spread evenly over devices, fixing the ~2x late-stage imbalance of the
+round-2 contiguous layout.  The cyclic row (un)permutation is two O(m^2)
+gathers around the O(m^3/n) factorization; triangular solves stay on the
+natural contiguous layout (they are latency-bound, not flop-bound).
 """
 
 from __future__ import annotations
@@ -42,29 +45,40 @@ def _pad_up(m: int, mult: int) -> int:
 
 
 def dist_cholesky(Mp: jax.Array, mesh: Mesh, axis: str, bs: int) -> jax.Array:
-    """Cholesky of an SPD matrix sharded in contiguous row panels.
+    """Cholesky of an SPD matrix, factored with BLOCK-CYCLIC row ownership.
 
-    Mp: [mp, mp] with mp divisible by n*bs, sharded P(axis, None).
-    Returns L (lower triangular, same sharding); no pivoting — robustness
-    is layered on top exactly as in the replicated path (traced
-    regularization + refinement, chol.py docstring).
+    Mp: [mp, mp] with mp divisible by n*bs, natural (elimination) order in
+    and out.  Internally rows are permuted so natural block row k lives on
+    device k mod n — every trailing update then touches all devices
+    equally (the ScaLAPACK layout argument).  Returns lower-triangular L
+    with L L' = Mp in natural order; no pivoting — robustness is layered
+    on top exactly as in the replicated path (traced regularization +
+    refinement, chol.py docstring).
     """
     n = mesh.shape[axis]
     mp = Mp.shape[0]
     nb = mp // bs
     nb_loc = nb // n
+    kb = jnp.arange(nb)
+    # natural block k <-> cyclic memory slot pos(k) = (k%n)*nb_loc + k//n
+    pos_b = (kb % n) * nb_loc + kb // n
+    o_b = (kb % nb_loc) * n + kb // nb_loc        # inverse map
+    row_in = (o_b[:, None] * bs + jnp.arange(bs)[None, :]).reshape(-1)
+    row_out = (pos_b[:, None] * bs + jnp.arange(bs)[None, :]).reshape(-1)
 
     def local(Ml):
         A = Ml.reshape(nb_loc, bs, mp)
         my = jax.lax.axis_index(axis)
-        g = my * nb_loc + jnp.arange(nb_loc)          # global block-row ids
+        g = my + n * jnp.arange(nb_loc)      # natural block-row ids (cyclic)
         karr = jnp.arange(nb)
 
         def body(j, A):
-            # block column j across all devices: [n, nb_loc, bs, bs] in
-            # device-major order == global contiguous block order
+            # block column j across all devices: gathered [n, nb_loc, ...]
+            # in device-major order; natural block r*n + d sits at (d, r),
+            # so a transpose restores natural order — no gather needed
             colj = jax.lax.dynamic_slice(A, (0, 0, j * bs), (nb_loc, bs, bs))
-            C = jax.lax.all_gather(colj, axis).reshape(nb, bs, bs)
+            C = jnp.swapaxes(jax.lax.all_gather(colj, axis), 0, 1
+                             ).reshape(nb, bs, bs)
             Ljj = jnp.linalg.cholesky(C[j])
             Linv = solve_triangular(
                 Ljj, jnp.eye(bs, dtype=A.dtype), lower=True)
@@ -86,17 +100,18 @@ def dist_cholesky(Mp: jax.Array, mesh: Mesh, axis: str, bs: int) -> jax.Array:
         # there): row block g keeps columns < g fully, the diagonal block
         # keeps its lower triangle.
         A4 = A.reshape(nb_loc, bs, nb, bs)
-        kb = karr[None, None, :, None]
+        kb_ = karr[None, None, :, None]
         gb = g[:, None, None, None]
         r_in = jnp.arange(bs)[None, :, None, None]
         c_in = jnp.arange(bs)[None, None, None, :]
-        keep = (kb < gb) | ((kb == gb) & (c_in <= r_in))
+        keep = (kb_ < gb) | ((kb_ == gb) & (c_in <= r_in))
         A4 = jnp.where(keep, A4, 0.0)
         return A4.reshape(nb_loc * bs, mp)
 
-    return jax.shard_map(
+    Lc = jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None),
-    )(Mp)
+    )(Mp[row_in])
+    return Lc[row_out]
 
 
 def _dist_trisolve(L: jax.Array, b: jax.Array, mesh: Mesh, axis: str,
@@ -184,40 +199,59 @@ class PanelSchurEngine:
     ladder as the replicated path.
     """
 
-    def __init__(self, mesh: Mesh, axis: str = "blocks", bs: int = 32,
-                 refine_iters: int = 2):
+    def __init__(self, mesh: Mesh, axis: str = "blocks", bs: int | None = None,
+                 refine_iters: int = 2, factor_dtype=None):
         self.mesh = mesh
         self.axis = axis
-        self.bs = bs
+        self.bs = bs                # None: adaptive (128 down to fit m)
         self.n = mesh.shape[axis]
         self.refine_iters = refine_iters
+        # factor_dtype HIGHER than the formation dtype: hybrid-phase parity
+        # with DenseSchurEngine (f64 factor of the f32-formed matrix);
+        # ipm.make_step sets this when building the hybrid step.
+        self.factor_dtype = jnp.dtype(factor_dtype) if factor_dtype else None
+
+    def _bs_for(self, m: int) -> int:
+        if self.bs is not None:
+            return self.bs
+        bs = 128                     # MXU-tile-friendly default
+        while self.n * bs > max(m, 1) and bs > 4:
+            bs //= 2
+        return bs
 
     def prepare(self, aop, S, reg):
         m = aop.m
+        bs = self._bs_for(m)
         Maug = build_schur(aop, S)
         ADA = Maug[:m, :m]
+        if self.factor_dtype is not None and self.factor_dtype != ADA.dtype:
+            ADA = ADA.astype(self.factor_dtype)
+            reg = jnp.asarray(reg, self.factor_dtype)
         dt = ADA.dtype
         scale = jnp.mean(jnp.abs(jnp.diag(ADA))) + jnp.finfo(dt).tiny
-        mp = _pad_up(m, self.n * self.bs)
+        mp = _pad_up(m, self.n * bs)
         Mr = ADA + (reg * scale) * jnp.eye(m, dtype=dt)
         dg = jnp.sqrt(jnp.maximum(jnp.diag(Mr), jnp.finfo(dt).tiny))
         Ms = Mr / (dg[:, None] * dg[None, :])
         Mpad = jnp.eye(mp, dtype=dt).at[:m, :m].set(Ms)
         ADApad = jnp.eye(mp, dtype=dt).at[:m, :m].set(ADA)
         spec = NamedSharding(self.mesh, P(self.axis, None))
-        # reduce-scatter point: partial block contributions land directly
-        # in row panels
+        # sharding-constraint point: XLA is asked to land the partial block
+        # contributions as row panels (reduce-scatter); whether a
+        # transient replicated buffer exists is up to the compiler — the
+        # guaranteed win is the distributed O(m^3/n) factorization.
         Mpad = jax.lax.with_sharding_constraint(Mpad, spec)
         ADApad = jax.lax.with_sharding_constraint(ADApad, spec)
-        L = dist_cholesky(Mpad, self.mesh, self.axis, self.bs)
+        L = dist_cholesky(Mpad, self.mesh, self.axis, bs)
         ok = jnp.all(jnp.isfinite(L))
         ctx = PanelCtx(ADApad, L, dg, m, mp)
+        ctx.bs = bs
         return ctx, Maug[:m, m], Maug[m, m], ok
 
     def _base_solve(self, ctx: PanelCtx, rhs_pad):
-        y = _dist_trisolve(ctx.L, rhs_pad, self.mesh, self.axis, self.bs,
+        y = _dist_trisolve(ctx.L, rhs_pad, self.mesh, self.axis, ctx.bs,
                            lower=True)
-        return _dist_trisolve(ctx.L, y, self.mesh, self.axis, self.bs,
+        return _dist_trisolve(ctx.L, y, self.mesh, self.axis, ctx.bs,
                               lower=False)
 
     def solve(self, ctx: PanelCtx, rhs):
