@@ -642,9 +642,73 @@ def sedumi(
     cpu0 = time.process_time()
 
     prob = tf.pretransfo(A, b, c, K, pars)
+
+    # --- pre-IPM consistency checks (sedumi.m:262-305) -------------------
+    # For reasonably sized problems: (1) a least-squares Farkas probe for
+    # trivially infeasible Ax=b; (2) a pivoted-QR rank probe that DROPS
+    # dependent constraint rows (the reference only warns; its own TODO at
+    # sedumi.m:299-301 asks for the removal we do here).  Dropped rows get
+    # y_i = 0 on recovery — z = c - A'y is unchanged, so the dual stays
+    # valid.
+    drop_rows = None
+    keep_rows = None
+    At_i, b_i, c_i = prob.At, prob.b, prob.c
+    N_i, m_i = At_i.shape
+    if N_i * m_i < 100_000:
+        Ad = np.asarray(At_i.todense())
+        M_aug = np.vstack([Ad, b_i[None, :]])
+        rhs = np.zeros(N_i + 1)
+        rhs[-1] = 1.0
+        yy, *_ = np.linalg.lstsq(M_aug, rhs, rcond=None)
+        if abs(b_i @ yy - 1.0) < 1e-10 and \
+                np.linalg.norm(Ad @ yy) < 1e-10:
+            _log(pars, "pre-check: infeasibility certificate found "
+                       "(no x solves Ax = b)")
+            y_u = tf.posttransfo_y(prob, yy / max(b_i @ yy, 1e-300))
+            x_u = np.zeros(K.dim,
+                           np.complex128 if prob.complex_input else np.float64)
+            t_end = time.time()
+            return x_u, y_u, {
+                "iter": 0, "pinf": 1, "dinf": 0, "numerr": 0, "r0": 0.0,
+                "feasratio": -1.0, "lin_engine": "none",
+                "timing": [t_end - t0, 0.0, 0.0],
+                "wallsec": t_end - t0,
+                "cpusec": time.process_time() - cpu0,
+            }
+        if m_i <= 1500:
+            import scipy.linalg as sla
+
+            _, R, piv = sla.qr(Ad, mode="economic", pivoting=True)
+            dg = np.abs(np.diag(R))
+            tol = max(N_i, m_i) * np.finfo(float).eps * (dg[0] if dg.size
+                                                         else 0.0)
+            rank = int(np.sum(dg > tol))
+            if rank < m_i:
+                keep_rows = np.sort(piv[:rank])
+                drop_rows = np.sort(piv[rank:])
+                # consistency: each dependent row's b must agree with the
+                # same combination of the kept rows (else infeasible — but
+                # the Farkas probe above would have certified that)
+                coeff, *_ = np.linalg.lstsq(Ad[:, keep_rows],
+                                            Ad[:, drop_rows], rcond=None)
+                b_pred = b_i[keep_rows] @ coeff
+                scale = 1.0 + np.max(np.abs(b_i))
+                if np.max(np.abs(b_i[drop_rows] - b_pred)) > 1e-8 * scale:
+                    drop_rows = keep_rows = None   # let the IPM certify
+                else:
+                    _log(pars, f"pre-check: dropped {drop_rows.size} "
+                               "linearly dependent constraint row(s)")
+                    import scipy.sparse as _sp
+
+                    At_i = _sp.csc_matrix(At_i)[:, keep_rows]
+                    b_i = b_i[keep_rows]
     t_pre = time.time()
 
-    res = solve_internal(prob.At, prob.b, prob.c, prob.layout, pars)
+    res = solve_internal(At_i, b_i, c_i, prob.layout, pars)
+    if drop_rows is not None:
+        y_full = np.zeros(m_i, res.y.dtype)
+        y_full[keep_rows] = res.y
+        res.y = y_full
     t_ipm = time.time()
 
     info: dict[str, Any] = {}

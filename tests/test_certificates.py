@@ -93,3 +93,39 @@ def test_feasible_not_flagged_infeasible():
     c = A.T @ rng.standard_normal(8) + rng.random(20) + 0.5
     x, y, info = sedumi(A, b, c, {"l": 20}, {"fid": 0})
     assert info["pinf"] == 0 and info["dinf"] == 0 and info["numerr"] == 0
+
+
+def test_precheck_infeasible_b(rng):
+    """Trivially infeasible Ax=b is certified by the pre-IPM least-squares
+    probe (sedumi.m:262-282) without running the IPM."""
+    import scipy.sparse as sp
+
+    from sedumi_tpu import sedumi
+
+    A = np.array([[1.0, 1.0, 0.5], [2.0, 2.0, 1.0]])   # row2 = 2*row1
+    b = np.array([1.0, 3.0])                            # inconsistent
+    c = np.ones(3)
+    x, y, info = sedumi(A, b, c, {"l": 3}, {"fid": 0})
+    assert info["pinf"] == 1
+    assert info["iter"] == 0                            # certified pre-IPM
+
+
+def test_precheck_drops_dependent_rows(rng):
+    """An LP with a duplicated (consistent) constraint row solves cleanly:
+    the pre-check drops the dependent row (prep note) instead of leaning on
+    the regularization ladder (sedumi.m:299-301's TODO, implemented)."""
+    from sedumi_tpu import sedumi
+
+    m, n = 12, 30
+    A0 = rng.standard_normal((m, n))
+    x0 = rng.random(n) + 0.5
+    b0 = A0 @ x0
+    A = np.vstack([A0, A0[3]])          # duplicate row 3
+    b = np.concatenate([b0, b0[3:4]])
+    c = A.T @ (rng.standard_normal(m + 1) * 0.1) + rng.random(n) + 0.5
+    x, y, info = sedumi(A, b, c, {"l": n}, {"fid": 0, "optstep": 0})
+    assert info["pinf"] == 0 and info["dinf"] == 0 and info["numerr"] == 0
+    assert max(info["err"]) < 1e-7, info["err"]
+    # the duplicated row's multiplier pair is still a valid dual
+    z = c - A.T @ y
+    assert z.min() > -1e-8
