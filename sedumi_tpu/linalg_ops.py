@@ -63,3 +63,63 @@ def eigvalsh(A: jax.Array, sort: bool = False) -> jax.Array:
     if _use_jacobi():
         return jacobi_eigvalsh(A, sort=sort)
     return jnp.linalg.eigvalsh(A)
+
+
+def _pad_stack(mats):
+    """Stack [k_i, d_i, d_i] batches into one [sum k_i, dmax, dmax] batch,
+    padding each block with a decoupled unit diagonal (identity rotations
+    in the Jacobi kernel never mix the padding in, so the leading d_i x d_i
+    corner of the result is exactly the unpadded answer)."""
+    import jax.numpy as jnp
+
+    dmax = max(a.shape[-1] for a in mats)
+    padded = []
+    for a in mats:
+        d = a.shape[-1]
+        if d < dmax:
+            p = jnp.zeros(a.shape[:-2] + (dmax, dmax), a.dtype)
+            p = p.at[..., :d, :d].set(a)
+            idx = jnp.arange(d, dmax)
+            p = p.at[..., idx, idx].set(1.0)
+            a = p
+        padded.append(a)
+    return jnp.concatenate(padded, axis=0), dmax
+
+
+def eigh_multi(mats):
+    """Batched eigh over a LIST of per-bucket [k_i, d_i, d_i] batches in
+    ONE Jacobi kernel call (pad to dmax + concatenate).
+
+    The Jacobi solver's cost on TPU is dominated by its sequential
+    rotation-round loop (latency, not flops) — running b buckets as one
+    padded batch costs max(rounds) instead of sum(rounds), ~2x on
+    two-bucket SDPs like arch0/trto3 (measured 375 ms/iter of NT eigh on
+    arch0 before).  Eigenvalues are UNSORTED (padding occupies trailing
+    diagonal slots, so slicing requires unsorted output).
+    """
+    if len(mats) <= 1 or not _use_jacobi():
+        return [eigh(a) for a in mats]
+    A, _ = _pad_stack(mats)
+    w, V = jacobi_eigh(A, sort=False)
+    out = []
+    off = 0
+    for a in mats:
+        k, d = a.shape[0], a.shape[-1]
+        out.append((w[off:off + k, :d], V[off:off + k, :d, :d]))
+        off += k
+    return out
+
+
+def eigvalsh_multi(mats):
+    """eigh_multi without vectors; returns a list of [k_i, d_i] batches."""
+    if len(mats) <= 1 or not _use_jacobi():
+        return [eigvalsh(a) for a in mats]
+    A, _ = _pad_stack(mats)
+    w = jacobi_eigvalsh(A, sort=False)
+    out = []
+    off = 0
+    for a in mats:
+        k, d = a.shape[0], a.shape[-1]
+        out.append(w[off:off + k, :d])
+        off += k
+    return out

@@ -99,7 +99,13 @@ def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
         q_lam.append(lam)
 
     # --- PSD ---
+    # bucket eighs run as ONE padded batched Jacobi call (eigh_multi): the
+    # kernel is latency-bound in its sequential rotation loop, so b buckets
+    # cost max(rounds), not sum(rounds)
+    from .linalg_ops import eigh_multi
+
     s_r, s_rinv, s_lam = [], [], []
+    lz_list, m_list = [], []
     for xs, zs in zip(x.s, z.s):
         d = zs.shape[-1]
         idx = jnp.arange(d)
@@ -107,7 +113,10 @@ def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
         zs_g = zs.at[..., idx, idx].add(4 * eps * mxz[..., None])
         lz = jnp.linalg.cholesky(zs_g)
         m = jnp.einsum("...ba,...bc,...cd->...ad", lz, xs, lz)
-        sig2, qmat = _eigh(m)
+        lz_list.append(lz)
+        m_list.append(m)
+    eigs = eigh_multi(m_list) if m_list else []
+    for lz, (sig2, qmat) in zip(lz_list, eigs):
         sig2 = jnp.maximum(
             sig2,
             (4 * eps) ** 2 * jnp.max(sig2, axis=-1, keepdims=True)
@@ -222,7 +231,17 @@ def maxstep_scaled(S: Scaling, dv: ConeVec) -> jax.Array:
     for lam, dq in zip(S.q_lam, dv.q):
         st = jd.q_maxstep(lam, dq)
         steps.append(jnp.min(st, initial=big))
+    # PSD buckets: one padded batched eigvalsh (see compute_scaling note)
+    from .linalg_ops import eigvalsh_multi
+
+    m_list = []
     for sig, ds in zip(S.s_lam, dv.s):
-        st = jd.s_maxstep_scaled(sig, ds)
+        isq = 1.0 / jnp.sqrt(sig)
+        m_list.append(ds * isq[..., :, None] * isq[..., None, :])
+    for sig, lmin_all in zip(S.s_lam, eigvalsh_multi(m_list) if m_list else []):
+        lmin = jnp.min(lmin_all, axis=-1)
+        st = jnp.where(
+            lmin < 0,
+            -1.0 / jnp.minimum(lmin, -jnp.finfo(sig.dtype).tiny), big)
         steps.append(jnp.min(st, initial=big))
     return jnp.min(jnp.stack(steps)) if steps else big

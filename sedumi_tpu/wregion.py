@@ -38,10 +38,16 @@ def prod_spectrum(x: ConeVec, z: ConeVec) -> jax.Array:
         u = jd.q_sqrt(xq)
         w = jd.q_quad_rep_apply(u, zq)
         parts.append(jd.q_eig(w).reshape(-1))
+    # PSD buckets in one padded batched eigvalsh (latency-bound kernel;
+    # see linalg_ops.eigh_multi)
+    from .linalg_ops import eigvalsh_multi
+
+    m_list = []
     for xs, zs in zip(x.s, z.s):
         u = jnp.linalg.cholesky(xs)
-        m = jnp.einsum("...ba,...bc,...cd->...ad", u, zs, u)
-        parts.append(_eigvalsh(m).reshape(-1))
+        m_list.append(jnp.einsum("...ba,...bc,...cd->...ad", u, zs, u))
+    for w_ in (eigvalsh_multi(m_list) if m_list else []):
+        parts.append(w_.reshape(-1))
     return jnp.concatenate([p.reshape(-1) for p in parts]) if parts else jnp.zeros(0)
 
 

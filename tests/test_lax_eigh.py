@@ -68,3 +68,59 @@ def test_jacobi_eigh_near_singular_nt(rng):
         assert np.linalg.norm(R) / np.linalg.norm(A) < 1e-6
         # no spurious large-negative eigenvalues (would break maxstep)
         assert np.min(w_) > -3e-8
+
+
+def test_eigh_multi_mixed_dims(rng):
+    """One padded Jacobi batch over buckets of different dims must agree
+    with per-bucket LAPACK (the TPU NT-scaling hot path)."""
+    import jax.numpy as jnp
+
+    from sedumi_tpu import linalg_ops as lo
+
+    mats = []
+    for k, d in [(3, 7), (1, 12), (2, 4)]:
+        M = rng.standard_normal((k, d, d))
+        mats.append(jnp.asarray(0.5 * (M + np.swapaxes(M, -1, -2))))
+    with lo.impl_override("jacobi"):
+        got = lo.eigh_multi(mats)
+        got_w = lo.eigvalsh_multi(mats)
+    for (w, V), wv, M in zip(got, got_w, mats):
+        Mn = np.asarray(M)
+        w_ref = np.linalg.eigvalsh(Mn)
+        assert np.allclose(np.sort(np.asarray(w), -1), w_ref, atol=1e-10)
+        assert np.allclose(np.sort(np.asarray(wv), -1), w_ref, atol=1e-10)
+        # reconstruction with vectors
+        R = np.einsum("kij,kj,klj->kil", np.asarray(V), np.asarray(w),
+                      np.asarray(V))
+        assert np.allclose(R, Mn, atol=1e-9)
+
+
+def test_compute_scaling_jacobi_matches_lapack(rng):
+    """compute_scaling with the batched-multi Jacobi path must agree with
+    the LAPACK path on a mixed 2-bucket PSD point."""
+    import jax.numpy as jnp
+
+    from sedumi_tpu import linalg_ops as lo
+    from sedumi_tpu import nt
+    from sedumi_tpu.structs import ConeVec
+
+    def spd(k, d):
+        M = rng.standard_normal((k, d, d))
+        return jnp.asarray(M @ np.swapaxes(M, -1, -2) + 3.0 * np.eye(d))
+
+    x = ConeVec(l=jnp.asarray(rng.random(5) + 0.5), q=(),
+                s=(spd(2, 6), spd(1, 9)))
+    z = ConeVec(l=jnp.asarray(rng.random(5) + 0.5), q=(),
+                s=(spd(2, 6), spd(1, 9)))
+    with lo.impl_override("jacobi"):
+        Sj = nt.compute_scaling(x, z)
+    with lo.impl_override("xla"):
+        Sl = nt.compute_scaling(x, z)
+    for rj, rl in zip(Sj.s_r, Sl.s_r):
+        # R is unique up to the eig order/signs; compare W = R R'
+        Wj = np.einsum("kab,kcb->kac", np.asarray(rj), np.asarray(rj))
+        Wl = np.einsum("kab,kcb->kac", np.asarray(rl), np.asarray(rl))
+        assert np.allclose(Wj, Wl, rtol=0, atol=1e-8 * np.abs(Wl).max())
+    for lj, ll in zip(Sj.s_lam, Sl.s_lam):
+        assert np.allclose(np.sort(np.asarray(lj), -1),
+                           np.sort(np.asarray(ll), -1), atol=1e-8)
