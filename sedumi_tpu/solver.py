@@ -262,6 +262,7 @@ def solve_internal(
 
     state = ipm.init_state(layout, bundles[cur]["aop"], b, normb_s, normc_s,
                            pars, dtype=jnp.dtype(dt_hi))
+    state0 = state          # for discard_progress phase restarts
     # checkpoint/resume (new scope vs the reference, SURVEY.md section 5):
     # the iterate (x, y, z, tau, kappa) is tiny relative to the data.
     it0 = 0
@@ -316,13 +317,25 @@ def solve_internal(
     recenter_hi = ipm.make_recenter(layout, jnp.dtype(dt_hi))
     recenter_lo = ipm.make_recenter(layout, jnp.float32)
 
-    def _escalate(why: str, skip_hybrid: bool = False) -> bool:
+    def _escalate(why: str, skip_hybrid: bool = False,
+                  discard_progress: bool = False) -> bool:
         """Move to the next precision phase; returns False at the ladder top.
         The iterate is cast to the state dtype, moved to the phase device,
         and recentered into the cone interior when entering the host phase.
         skip_hybrid: the hybrid phase shares the f32 formation — when THAT
-        went non-finite, hybrid would fail identically, so jump past it."""
+        went non-finite, hybrid would fail identically, so jump past it.
+        discard_progress: the leaving phase's arithmetic was unusable from
+        its very first steps (bad directions on badly-scaled data, e.g.
+        trto3's 1e12 range in f32) — its iterate is junk that measurably
+        jams the later endgame (TPU trto3 plateaued at 3.6e-4 carrying it;
+        restarting the good phase from the initial point reaches the same
+        9.3e-7 as a pure-f64 run).  Redoing the few burnt iterations in
+        the better arithmetic costs seconds."""
         nonlocal cur, state, phase_iters
+        if discard_progress:
+            state = ipm.cast_state(state0, dt_hi)
+            _log(pars, "  discarding the unusable phase's iterates; "
+                       "restarting from the initial point")
         idx = phase_order.index(cur)
         while True:
             idx += 1
@@ -420,7 +433,8 @@ def solve_internal(
                  f"defect={float(st.dir_defect):.1e} reg={reg:.1e}")
             if not last_phase and _escalate(
                     f"{why} in {cur}",
-                    skip_hybrid=(not finite or not leaves_ok)):
+                    skip_hybrid=(not finite or not leaves_ok),
+                    discard_progress=(cur == phase_order[0] and it <= 20)):
                 continue
             tried += 1
             reg = max(reg * 100.0, 1e-14)
