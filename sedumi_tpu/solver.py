@@ -431,10 +431,18 @@ def solve_internal(
                  f"  step rejected ({why}): mu={float(st.mu):.1e} "
                  f"alpha={float(st.alpha):.1e} chol_ok={bool(st.chol_ok)} "
                  f"defect={float(st.dir_defect):.1e} reg={reg:.1e}")
+            # discard test: the first phase's iterate is junk only when it
+            # made no REAL progress before failing (trto3: mu 1.4 -> 0.14
+            # in 14 bad-direction iters).  A phase that reduced mu by 3+
+            # orders before hitting its floor (arch0: 1.2 -> 2e-5) carries
+            # genuine progress — keep it.
+            mu0_run = iterlog[0]["mu"] if iterlog else float("inf")
+            no_real_progress = float(st.mu) > 1e-3 * mu0_run
             if not last_phase and _escalate(
                     f"{why} in {cur}",
                     skip_hybrid=(not finite or not leaves_ok),
-                    discard_progress=(cur == phase_order[0] and it <= 20)):
+                    discard_progress=(cur == phase_order[0] and it <= 20
+                                      and no_real_progress)):
                 continue
             tried += 1
             reg = max(reg * 100.0, 1e-14)
