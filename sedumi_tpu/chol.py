@@ -103,6 +103,14 @@ def ldl_masked(M: jax.Array, canceltol: float = 1e-12, maxu: float = 5e5,
       if max|L_:j| > maxu and skipping enabled -> skip pivot:
          L_:j := e_j, d_j := absd-scaled large value (solve contributes ~0)
     Masked arithmetic only — jit/TPU friendly.
+
+    Cost (measured, 2-vCPU host, f64): the m-iteration sequential
+    fori_loop runs 0.74 s at m=1000, 5.8 s at m=2000, 32.5 s at m=3000;
+    compile time is a few seconds (small static graph).  The dense engine
+    compiles it inside lax.cond, which EXECUTES only the taken branch, so
+    the O(m^2)-per-column loop costs nothing while the plain Cholesky
+    succeeds; problems with m in the thousands that would need the
+    fallback regularly belong on the sparse tile engine anyway.
     """
     m = M.shape[0]
     dtype = M.dtype

@@ -331,7 +331,8 @@ def solve_internal(
         restarting the good phase from the initial point reaches the same
         9.3e-7 as a pure-f64 run).  Redoing the few burnt iterations in
         the better arithmetic costs seconds."""
-        nonlocal cur, state, phase_iters
+        nonlocal cur, state, phase_iters, since_best, stall, \
+            since_best_phase
         if discard_progress:
             state = ipm.cast_state(state0, dt_hi)
             _log(pars, "  discarding the unusable phase's iterates; "
@@ -373,6 +374,13 @@ def solve_internal(
         _log(pars, f"  escalating {cur} -> {nxt} ({why})")
         cur = nxt
         phase_iters = 0
+        # fresh phase, fresh stall budgets: judging the new phase's early
+        # iterations against the old phase's best spuriously fires the
+        # plateau/stall stops (observed: OH's hybrid restart escalated
+        # after 5 iterations because f32's pre-discard best still stood)
+        since_best = 0
+        since_best_phase = 0
+        stall = 0
         return True
 
     # f32 stalls once `worst` nears its rounding floor; escalate a bit
