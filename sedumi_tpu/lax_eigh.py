@@ -128,25 +128,34 @@ def _jacobi(A: jax.Array, sweeps: int, with_vectors: bool, sort: bool):
     return w, V if with_vectors else None
 
 
-def _sweeps_for(n: int) -> int:
+def _sweeps_for(n: int, dtype=None) -> int:
+    """Static sweep count for convergence to the DTYPE's roundoff floor.
+
+    f64 counts are tuned for machine precision at n <= ~600.  f32 inputs
+    converge ~2 sweeps earlier (quadratic convergence targets eps32 ~
+    1.2e-7; measured at n=174: 10 sweeps reach the 3.5e-5 plateau that 12
+    also reaches) — and every sweep is n-1 SEQUENTIAL rotation rounds, the
+    latency-bound cost that dominates NT scaling on TPU.
+    """
+    f32 = dtype is not None and jnp.dtype(dtype) == jnp.float32
     if n <= 16:
-        return 8
+        return 6 if f32 else 8
     if n <= 64:
-        return 10
+        return 8 if f32 else 10
     if n <= 256:
-        return 12
-    return 14
+        return 10 if f32 else 12
+    return 12 if f32 else 14
 
 
 def jacobi_eigh(A: jax.Array, sweeps: int | None = None, sort: bool = True):
     """(w, V) with A = V diag(w) V'; w ascending iff sort (default)."""
     n = A.shape[-1]
-    w, V = _jacobi(A, sweeps or _sweeps_for(n), True, sort)
+    w, V = _jacobi(A, sweeps or _sweeps_for(n, A.dtype), True, sort)
     return w, V
 
 
 def jacobi_eigvalsh(A: jax.Array, sweeps: int | None = None,
                     sort: bool = True) -> jax.Array:
     n = A.shape[-1]
-    w, _ = _jacobi(A, sweeps or _sweeps_for(n), False, sort)
+    w, _ = _jacobi(A, sweeps or _sweeps_for(n, A.dtype), False, sort)
     return w

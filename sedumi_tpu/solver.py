@@ -332,9 +332,17 @@ def solve_internal(
         9.3e-7 as a pure-f64 run).  Redoing the few burnt iterations in
         the better arithmetic costs seconds."""
         nonlocal cur, state, phase_iters, since_best, stall, \
-            since_best_phase
+            since_best_phase, best_worst, best_state, best_rec
         if discard_progress:
             state = ipm.cast_state(state0, dt_hi)
+            # the discarded trajectory's iterates (and their measured
+            # stats) came from unusable arithmetic — the best-iterate
+            # records reset with it, else the next phase's honest early
+            # iterations are judged against junk numbers and the plateau
+            # stop fires within a handful of steps (observed on OH)
+            best_worst = np.inf
+            best_state = state
+            best_rec = None
             _log(pars, "  discarding the unusable phase's iterates; "
                        "restarting from the initial point")
         idx = phase_order.index(cur)
@@ -446,11 +454,19 @@ def solve_internal(
             # genuine progress — keep it.
             mu0_run = iterlog[0]["mu"] if iterlog else float("inf")
             no_real_progress = float(st.mu) > 1e-3 * mu0_run
+            discard = (cur == phase_order[0] and it <= 20
+                       and no_real_progress)
+            # a discard also SKIPS the hybrid rung: the restart re-runs
+            # the same early iterations, and on data whose f32 directions
+            # were unusable from the start the hybrid (same f32
+            # formation) empirically fails or crawls too (trto3 escalated
+            # out of it on its first step; OH's hybrid never beat host64)
+            # — while its OH-sized step compiles in 15+ minutes.  host64
+            # redoes the few iterations at full accuracy instead.
             if not last_phase and _escalate(
                     f"{why} in {cur}",
-                    skip_hybrid=(not finite or not leaves_ok),
-                    discard_progress=(cur == phase_order[0] and it <= 20
-                                      and no_real_progress)):
+                    skip_hybrid=(not finite or not leaves_ok or discard),
+                    discard_progress=discard):
                 continue
             tried += 1
             reg = max(reg * 100.0, 1e-14)
