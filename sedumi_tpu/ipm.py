@@ -84,7 +84,7 @@ class DenseSchurEngine:
     the full-precision matrix (TPU mixed-precision Schur path).
     """
 
-    def __init__(self, refine_iters: int = 2, qprec: int = 1,
+    def __init__(self, refine_iters: int = 4, qprec: int = 1,
                  schur_dtype=None, factor_dtype=None, chol_pars=None):
         self.refine_iters = refine_iters
         self.qprec = qprec
