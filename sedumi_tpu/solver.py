@@ -566,7 +566,14 @@ def solve_internal(
             if worst <= switch_tol or since_best_phase >= 3 or (
                 rec["alpha"] < 2e-3 and it > 3
             ) or phase_iters >= 60:
-                if _escalate(f"f32 floor at iter {it}, worst={worst:.1e}"):
+                # hybrid is a sub-floor POLISHER (f64 residuals over the
+                # same f32 formation): when f32 stalls far from
+                # convergence the hybrid sees the same wall and plateaus
+                # within its stall budget — while its step costs minutes
+                # of compile (control07: entered at worst 1.8, escalated
+                # 5 iterations later, twice).  Go straight to host64 then.
+                if _escalate(f"f32 floor at iter {it}, worst={worst:.1e}",
+                             skip_hybrid=(worst > 1e-2)):
                     since_best = 0
         elif cur == "hybrid" and (since_best >= 4 or phase_iters >= 40) \
                 and best_worst > pars.eps:
