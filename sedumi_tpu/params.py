@@ -153,6 +153,10 @@ class Pars:
     resume: int = 0       # 1: resume from checkpoint_path if it exists
     profile: int = 0      # 1: measure per-phase device timings + TFLOP/s
     #                       (profiling.profile_iteration) into info['profile']
+    debug: int = 0        # 1: numerical sanitizer — every IPM step's
+    #                       outputs are leaf-checked on the host and the
+    #                       FIRST non-finite leaf raises by NAME instead
+    #                       of entering the recovery ladder; debugging only
 
     def __post_init__(self) -> None:
         if isinstance(self.chol, Mapping):

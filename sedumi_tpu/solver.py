@@ -77,7 +77,7 @@ def _cached_make_step(layout, pars, normb, normc, cscale, dtype,
     # must not break reuse — the bench's warm solve sets profile=1)
     key = (pars.alg, pars.theta, pars.beta, pars.wr, pars.stepdif,
            repr(pars.chol), repr(pars.cg), pars.schur_dtype, pars.dtype,
-           layout.l, tuple(layout.q), tuple(layout.s),
+           pars.debug, layout.l, tuple(layout.q), tuple(layout.s),
            float(normb), float(normc), float(cscale), str(dtype),
            str(compute_dtype), host_impl)
     fn = _STEP_CACHE.get(key)
@@ -85,6 +85,38 @@ def _cached_make_step(layout, pars, normb, normc, cscale, dtype,
         fn = ipm.make_step(layout, pars, normb, normc, cscale,
                            dtype=dtype, engine=None,
                            compute_dtype=compute_dtype)
+        if pars.debug:
+            # numerical sanitizer (SURVEY.md section 5 sanitizer row):
+            # name the first non-finite LEAF of the step's output instead
+            # of surfacing as an anonymous rejected step.  (checkify
+            # float_checks false-positives on the step's masked-lane
+            # arithmetic — jnp.where-guarded divisions are idiomatic
+            # throughout — so the check is per-leaf on outputs.)
+            inner = fn
+
+            def fn(*a, **kw):  # noqa: F811
+                out = inner(*a, **kw)
+                new_state, st = out
+                leaves = {"stats." + k: getattr(st, k) for k in st._fields}
+                for name, leaf in list(zip(
+                        ("x.l", "y", "tau", "kappa"),
+                        (new_state.x.l, new_state.y, new_state.tau,
+                         new_state.kappa))) + list(leaves.items()):
+                    a_ = np.asarray(leaf)
+                    if a_.size and not np.all(np.isfinite(a_)):
+                        raise FloatingPointError(
+                            f"pars.debug sanitizer: non-finite values in "
+                            f"'{name}' after the IPM step")
+                for fam, blocks in (("x.q", new_state.x.q),
+                                    ("x.s", new_state.x.s),
+                                    ("z.q", new_state.z.q),
+                                    ("z.s", new_state.z.s)):
+                    for bi, blk in enumerate(blocks):
+                        if not np.all(np.isfinite(np.asarray(blk))):
+                            raise FloatingPointError(
+                                f"pars.debug sanitizer: non-finite values "
+                                f"in '{fam}[{bi}]' after the IPM step")
+                return out
         if len(_STEP_CACHE) >= _STEP_CACHE_MAX:
             _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
         _STEP_CACHE[key] = fn

@@ -72,3 +72,19 @@ def test_mesh_shape_sharded_solve():
     assert max(info["err"]) < 1e-7, info["err"]
     cx, cxr = float(c @ x), float(c @ xr)
     assert abs(cx - cxr) < 1e-6 * (1 + abs(cxr))
+
+
+def test_debug_sanitizer_runs_clean():
+    """pars.debug=1 runs the step under checkify float checks (the
+    sanitizer row of SURVEY.md section 5); a clean solve must pass through
+    with identical results and no raised check."""
+    import numpy as np
+
+    from sedumi_tpu import sedumi
+    from sedumi_tpu.generators import feasible_problem
+
+    At, b, c, K = feasible_problem({"l": 6, "q": [4], "s": [4]}, 8, seed=5)
+    x1, y1, i1 = sedumi(At, b, c, K, {"fid": 0, "debug": 1})
+    x0, y0, i0 = sedumi(At, b, c, K, {"fid": 0})
+    assert i1["pinf"] == 0 and i1["numerr"] == 0
+    assert abs(float(c @ x1) - float(c @ x0)) <= 1e-7 * (1 + abs(c @ x0))
