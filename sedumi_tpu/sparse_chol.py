@@ -62,6 +62,9 @@ class TilePlan(NamedTuple):
     nlev: int = 0
     lv_cols: jnp.ndarray | None = None   # [nlev, maxc] column ids (pad=ntc)
     lv_cmask: jnp.ndarray | None = None  # [nlev, maxc] validity
+    # exact per-level lists for the UNROLLED kernels (host-static):
+    # ((col ids...), maxo_level, maxp_level) per level
+    lv_lists: tuple = ()
 
 
 def plan_tiles(pattern: sp.spmatrix, B: int = 128,
@@ -148,6 +151,17 @@ def plan_tiles(pattern: sp.spmatrix, B: int = 128,
     lev = native.levels(parent)
     nlev = int(lev.max()) + 1 if ntc else 0
     bylev = [np.nonzero(lev == l)[0] for l in range(nlev)]
+    # exact per-level lists for the unrolled kernels: the padded batched
+    # level loop costs nlev * maxc * maxp tile-ops while real problems
+    # have wildly varying level widths (measured: 277 s per factorization
+    # at m=20480 on this host, dominated by padding)
+    noff = [len(r) - 1 for r in cols_rows]
+    npair = [k * (k + 1) // 2 for k in noff]
+    lv_lists = tuple(
+        (tuple(int(j) for j in g),
+         max((noff[j] for j in g), default=0),
+         max((npair[j] for j in g), default=0))
+        for g in bylev)
     maxc = max((g.size for g in bylev), default=1)
     lv_cols = np.full((max(nlev, 1), maxc), ntc, np.int32)
     lv_cmask = np.zeros((max(nlev, 1), maxc), bool)
@@ -178,7 +192,7 @@ def plan_tiles(pattern: sp.spmatrix, B: int = 128,
         orow=jnp.asarray(orow), asm_dst=jnp.asarray(asm_dst),
         slot_of=slot_of,
         nlev=nlev, lv_cols=jnp.asarray(lv_cols),
-        lv_cmask=jnp.asarray(lv_cmask),
+        lv_cmask=jnp.asarray(lv_cmask), lv_lists=lv_lists,
     )
 
 
@@ -450,3 +464,98 @@ class SparseCholesky:
         bp = jnp.zeros(pl.n, b.dtype).at[: self._n0].set(b[jnp.asarray(pl.perm)])
         x = solve_tiles(L, bp, pl.dslot, pl.oslot, pl.omask, pl.orow, pl.ntc)
         return x[: self._n0][jnp.asarray(self._iperm)]
+
+
+def factor_tiles_ur(storage: jnp.ndarray, dslot, oslot, omask, pa, pb, pdst,
+                    pmask, lv_lists, reg: jnp.ndarray,
+                    canceltol: float = 1e-12) -> jnp.ndarray:
+    """Unrolled level-scheduled tile Cholesky with EXACT per-level shapes.
+
+    Same numeric semantics as factor_tiles_lv, but each level's kernel is
+    traced with that level's true column count and trimmed off-tile/update
+    widths (lv_lists is host-static).  The padded fori_loop version costs
+    nlev * maxc * maxp tile-ops regardless of the actual schedule —
+    measured 277 s per factorization at m=20480 on this host, almost all
+    of it multiplying trash-slot padding.  Unrolling trades a slightly
+    larger (still level-count-bounded) compile for the exact O(sum of
+    level work).  Callers should prefer this whenever the level count is
+    modest (engine falls back to factor_tiles_lv above 64 levels).
+    """
+    B = storage.shape[-1]
+    eyeB = jnp.eye(B, dtype=storage.dtype)
+    st = storage
+    for cols_t, maxo_l, maxp_l in lv_lists:
+        cols = np.asarray(cols_t, np.int32)
+        djs = dslot[cols]
+        D = st[djs]
+        D = jnp.tril(D) + jnp.swapaxes(jnp.tril(D, -1), -1, -2)
+        dmax = jnp.max(jnp.abs(jnp.diagonal(D, axis1=-2, axis2=-1)), axis=-1)
+        lift = jnp.maximum(reg, canceltol * dmax) + 1e-300
+        Dl = D + lift[:, None, None] * eyeB
+        LD = jnp.linalg.cholesky(Dl)
+        bad1 = jnp.any(jnp.isnan(LD), axis=(-2, -1))
+        LD2 = jnp.linalg.cholesky(Dl + (dmax + 1.0)[:, None, None] * eyeB)
+        LD = jnp.where(bad1[:, None, None], LD2, LD)
+        bad2 = jnp.any(jnp.isnan(LD), axis=(-2, -1))
+        LDdiag = jnp.sqrt(jnp.abs(jnp.diagonal(Dl, axis1=-2, axis2=-1))
+                          + (dmax + 1.0)[:, None])[..., None] * eyeB
+        LD = jnp.where(bad2[:, None, None], LDdiag, LD)
+        st = st.at[djs].set(LD)
+
+        if maxo_l:
+            osl = oslot[cols][:, :maxo_l]
+            Ts = st[osl]
+            X = jax.lax.linalg.triangular_solve(
+                jnp.broadcast_to(LD[:, None], Ts.shape), Ts,
+                left_side=False, lower=True, transpose_a=True,
+            )
+            om = omask[cols][:, :maxo_l]
+            st = st.at[osl].set(jnp.where(om[..., None, None], X, Ts))
+        if maxp_l:
+            pac = pa[cols][:, :maxp_l]
+            pbc = pb[cols][:, :maxp_l]
+            Asrc = st[pac]
+            Bsrc = st[pbc]
+            U = jnp.einsum("cpab,cpdb->cpad", Asrc, Bsrc)
+            U = jnp.where(pmask[cols][:, :maxp_l][..., None, None], U, 0.0)
+            st = st.at[pdst[cols][:, :maxp_l]].add(-U)
+    return st
+
+
+def solve_tiles_ur(L: jnp.ndarray, rhs: jnp.ndarray, dslot, oslot, omask,
+                   orow, lv_lists, ntc: int) -> jnp.ndarray:
+    """Unrolled exact-shape triangular solves (companion of
+    factor_tiles_ur)."""
+    B = L.shape[-1]
+    y = rhs.reshape(ntc, B)
+    ypad = jnp.concatenate([y, jnp.zeros((1, B), y.dtype)], axis=0)
+
+    for cols_t, maxo_l, _ in lv_lists:
+        cols = np.asarray(cols_t, np.int32)
+        LD = L[dslot[cols]]
+        yj = jax.lax.linalg.triangular_solve(
+            LD, ypad[cols][..., None], left_side=True, lower=True)[..., 0]
+        ypad = ypad.at[cols].set(yj)
+        if maxo_l:
+            Ts = L[oslot[cols][:, :maxo_l]]
+            contrib = jnp.einsum("coab,cb->coa", Ts, yj)
+            contrib = jnp.where(omask[cols][:, :maxo_l][..., None],
+                                contrib, 0.0)
+            ypad = ypad.at[orow[cols][:, :maxo_l]].add(-contrib)
+
+    for cols_t, maxo_l, _ in reversed(lv_lists):
+        cols = np.asarray(cols_t, np.int32)
+        yc = ypad[cols]
+        if maxo_l:
+            Ts = L[oslot[cols][:, :maxo_l]]
+            gathered = ypad[orow[cols][:, :maxo_l]]
+            corr = jnp.einsum(
+                "coab,coa->cb", Ts,
+                jnp.where(omask[cols][:, :maxo_l][..., None], gathered, 0.0))
+            yc = yc - corr
+        LD = L[dslot[cols]]
+        yj = jax.lax.linalg.triangular_solve(
+            LD, yc[..., None], left_side=True, lower=True,
+            transpose_a=True)[..., 0]
+        ypad = ypad.at[cols].set(yj)
+    return ypad[:ntc].reshape(-1)

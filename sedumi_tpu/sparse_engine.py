@@ -238,19 +238,37 @@ class TileSchurEngine:
         if meta["npad"]:
             flat = flat.at[arr["pad_idx"]].add(1.0)
         storage = flat.reshape(nslot, B, B)
-        L = sparse_chol.factor_tiles_lv(
-            storage, arr["dslot"], arr["oslot"], arr["omask"], arr["pa"],
-            arr["pb"], arr["pdst"], arr["pmask"], arr["lv_cols"],
-            jnp.asarray(reg, dtype), meta["nlev"],
-            canceltol=self.pars.chol.canceltol)
+        # exact-shape unrolled level kernels when the schedule is shallow
+        # (the padded fori version costs nlev*maxc*maxp tile-ops; measured
+        # 277 s/factorization at m=20480 — see sparse_chol.factor_tiles_ur)
+        lvl = meta.get("lv_lists", ())
+        use_ur = bool(lvl) and len(lvl) <= 64
+        if use_ur:
+            L = sparse_chol.factor_tiles_ur(
+                storage, arr["dslot"], arr["oslot"], arr["omask"],
+                arr["pa"], arr["pb"], arr["pdst"], arr["pmask"], lvl,
+                jnp.asarray(reg, dtype),
+                canceltol=self.pars.chol.canceltol)
+        else:
+            L = sparse_chol.factor_tiles_lv(
+                storage, arr["dslot"], arr["oslot"], arr["omask"], arr["pa"],
+                arr["pb"], arr["pdst"], arr["pmask"], arr["lv_cols"],
+                jnp.asarray(reg, dtype), meta["nlev"],
+                canceltol=self.pars.chol.canceltol)
         ok = jnp.all(jnp.isfinite(L))
 
         def fsolve(b_m):
             bp = jnp.zeros(meta["ntiles_n"], dtype).at[
                 jnp.arange(m)].set(b_m[arr["perm"]])
-            x = sparse_chol.solve_tiles_lv(
-                L, bp, arr["dslot"], arr["oslot"], arr["omask"],
-                arr["orow"], arr["lv_cols"], arr["lv_cmask"], meta["nlev"])
+            if use_ur:
+                x = sparse_chol.solve_tiles_ur(
+                    L, bp, arr["dslot"], arr["oslot"], arr["omask"],
+                    arr["orow"], lvl, meta["ntiles_n"] // B)
+            else:
+                x = sparse_chol.solve_tiles_lv(
+                    L, bp, arr["dslot"], arr["oslot"], arr["omask"],
+                    arr["orow"], arr["lv_cols"], arr["lv_cmask"],
+                    meta["nlev"])
             return x[:m][arr["iperm"]]
 
         # --- dense columns: Woodbury/capacitance --------------------------
@@ -690,6 +708,7 @@ def plan_sparse_lq(At: sp.spmatrix, c: np.ndarray, layout: Layout,
         nnz_l=int(nnz_l), n_uflat=int(uoff), Kd=len(ud_cols),
         n_udu=len(udu), B=B, ntc=plan.ntc, nslot=plan.nslot,
         ntiles_n=plan.n, npad=int(plan.n - m), nlev=plan.nlev,
+        lv_lists=plan.lv_lists,
         ada_nnz=int(pattern.nnz), ada_density=float(pattern.nnz) / max(m * m, 1),
         psd_pair_entries=int(sum(a.size for a in sp_val_b)),
     )
