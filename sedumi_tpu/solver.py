@@ -763,8 +763,8 @@ def _load_checkpoint(path: str, layout: Layout):
 
 def sedumi(
     A,
-    b,
-    c,
+    b=None,
+    c=None,
     K: "ConeSpec | Mapping[str, Any] | None" = None,
     pars: "Pars | Mapping[str, Any] | None" = None,
 ):
@@ -774,11 +774,71 @@ def sedumi(
     (sedumi.m:49-163): A may be given as A (m x n) or its transpose; K in
     the external format (f/l/q/r/s + complex fields).  Returns (x, y, info)
     with the reference `info` contract.
+
+    Argument sniffing (sedumi.m:228-253): K omitted/empty defaults to an
+    all-LP cone K.l = max(size(A)); an omitted/empty/scalar-zero c selects
+    the feasibility form c = 0 — and when the given b has length
+    max(size(A)) it is interpreted as c instead ("(A,c): dual/LP
+    feasibility"), with b = 0.  A cone struct passed in the c position
+    shifts the arguments: sedumi(A, b, K) / sedumi(A, b, K, pars).
     """
+    import scipy.sparse as sp
+
     from . import transform as tf
+
+    A = sp.csc_matrix(A)
+
+    def _isvec(v):
+        return v is not None and not isinstance(v, (Mapping, ConeSpec)) \
+            and np.asarray(v).size > 1
+
+    def _isempty(v):
+        if v is None:
+            return True
+        a = np.asarray(v.todense() if sp.issparse(v) else v)
+        return a.size == 0 or (a.size == 1 and float(np.abs(a).max()) == 0.0)
+
+    _CONE_KEYS = {"f", "l", "q", "r", "s", "z",
+                  "scomplex", "xcomplex", "ycomplex"}
+
+    def _is_cone(v):
+        if isinstance(v, ConeSpec):
+            return True
+        if isinstance(v, Mapping):
+            return bool(set(v) & _CONE_KEYS)
+        names = getattr(getattr(v, "dtype", None), "names", None)
+        return bool(names and set(names) & _CONE_KEYS)
+
+    if b is None and (c is None or _is_cone(c)):
+        raise ValueError(
+            "Should have at least (A,b) or (A,c) arguments (sedumi.m:232)")
+    if _is_cone(c):
+        # sedumi(A, b, K) or sedumi(A, b, K, pars) (sedumi.m:240-249):
+        # cone feasibility — the 2nd argument is b or c by its length
+        if K is not None and pars is None:
+            pars = K
+        K = c
+        c = None
+    if c is None or _isempty(c):
+        # feasibility form (sedumi.m:231-238, 245-249): (A,c) when the
+        # given vector spans A's larger dimension, else (A,b) with c=0
+        if _isvec(b) and np.asarray(b).size == max(A.shape) \
+                and A.shape[0] != A.shape[1]:
+            c, b = b, None
+        else:
+            c = None   # zeros, sized after K resolves below
 
     pars = Pars.make(pars)
     K = ConeSpec.make(K)
+    if K.dim == 0:
+        # all-LP default (sedumi.m:250-251: K.l = max(size(A)))
+        n_guess = np.asarray(c).size if _isvec(c) else max(A.shape)
+        K = ConeSpec(l=int(n_guess))
+    if c is None or _isempty(c):
+        c = np.zeros(K.dim)
+    if b is None or _isempty(b):
+        m_guess = A.shape[1] if A.shape[0] == K.dim else A.shape[0]
+        b = np.zeros(int(m_guess))
     t0 = time.time()
     cpu0 = time.process_time()
 
