@@ -197,6 +197,9 @@ class StepStats(NamedTuple):
     res_d_abs: jax.Array  # ||A'y + z - c tau||
     dir_defect: jax.Array # ||A dx - b dtau + rp|| / (||rp|| + mu): direction
     #                       quality gate for precision escalation (host)
+    wr_delta: jax.Array   # proximity delta of the incoming iterate (iswnbr)
+    centered: jax.Array   # 1.0 when the initial centering step was taken
+    maxt1: jax.Array      # predictor boundary step from the centered point
 
 
 def cv_jmul(a: ConeVec, b: ConeVec) -> ConeVec:
@@ -283,7 +286,7 @@ def make_recenter(layout: Layout, dtype=jnp.float64):
 
 def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
               cscale: float = 1.0, dtype=None, engine=None,
-              compute_dtype=None):
+              compute_dtype=None, err_dens=None):
     """Build the jitted one-iteration step function for a fixed layout.
 
     The returned function takes (aop, b, rs, state, reg, aop_lo=None) — the
@@ -313,6 +316,12 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
     idea of loopPcg.m/quadadd.c lifted to the whole IPM step).
     """
     nu = layout.nu
+    # convergence-grading denominators (sedumi.m:678-681): the reference
+    # normalizes feasibility by 1+maxb+1e-3*maxRb (initial-residual scale)
+    # — passed by the driver; the plain 1+norm fallback keeps older callers
+    # (graft entry, tests) valid but stricter
+    den_p, den_d = err_dens if err_dens is not None else (1.0 + normb,
+                                                          1.0 + normc)
     gamma = 0.99  # step fraction to boundary; neighborhood-safe default
     defect_correct = max(0, int(pars.cg.refine))
     dtype = jnp.dtype(fp.resolve_dtype(pars.dtype) if dtype is None else dtype)
@@ -442,35 +451,41 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             dkappa = (r_tk - kappa_l * dtau) / tau_l
             return dx, dy, dz, dtau, dkappa
 
-        def direction(rc: ConeVec, r_tk):
-            """Direction for the full current residuals, polished by
-            defect-correction passes in the STATE dtype: the compute-dtype
-            solves re-inject residual on every row; re-solving with the
-            exactly-evaluated equation defects as rhs drives the direction
-            defect down by the solve accuracy each pass (the role of the
-            reference's PCG refine restarts, wrapPcg.m:100-130).  In hybrid
-            mode this is what makes f32 linear algebra deliver f64-quality
-            Newton directions.  Each pass is MONOTONE: a correction is kept
-            only if it reduced the measured defect (a near-singular
-            compute-dtype factor can amplify instead — observed 1e12
-            defect spikes without this guard)."""
+        def direction(rc: ConeVec, r_tk, r_scale: float = 1.0):
+            """Direction for r_scale times the current residuals, polished
+            by defect-correction passes in the STATE dtype: the
+            compute-dtype solves re-inject residual on every row;
+            re-solving with the exactly-evaluated equation defects as rhs
+            drives the direction defect down by the solve accuracy each
+            pass (the role of the reference's PCG refine restarts,
+            wrapPcg.m:100-130).  In hybrid mode this is what makes f32
+            linear algebra deliver f64-quality Newton directions.  Each
+            pass is MONOTONE: a correction is kept only if it reduced the
+            measured defect (a near-singular compute-dtype factor can
+            amplify instead — observed 1e12 defect spikes without this
+            guard).  r_scale=0.0 is the pure centering direction
+            (wregion.m:47-55: residual rows untouched)."""
 
             def defects(dx, dy, dz, dtau, dkappa):
                 dax = aop.apply(dx)
-                def_p = -rp - (dax[:m] - b * dtau)
-                def_g = -rg - (dax[m] - b @ dy + dkappa)
+                def_p = -r_scale * rp - (dax[:m] - b * dtau)
+                def_g = -r_scale * rg - (dax[m] - b @ dy + dkappa)
                 if hybrid:
                     # dual-row defect (exact-by-construction only in the
-                    # compute dtype): A'dy + dz - c dtau + rd
+                    # compute dtype): A'dy + dz - c dtau + r_scale*rd
                     def_d = cv_neg(
-                        cv_add(rd, cv_add(aop.adj_y(dy, -dtau), dz)))
+                        cv_add(cv_scale(rd, r_scale),
+                               cv_add(aop.adj_y(dy, -dtau), dz)))
                 else:
                     def_d = zero_cv
                 nrm = (jnp.linalg.norm(def_p) + jnp.abs(def_g)
                        + (cv_norm(def_d) if hybrid else 0.0))
                 return def_p, def_d, def_g, nrm
 
-            d0 = direction_raw(lo(-rp), lo(cv_neg(rd)), lo(-rg), rc, r_tk)
+            d0 = direction_raw(lo(-r_scale * rp) if r_scale else
+                               jnp.zeros((m,), cd),
+                               lo(cv_scale(cv_neg(rd), r_scale)),
+                               lo(-r_scale * rg), rc, r_tk)
             dx, dy, dz, dtau, dkappa = hi(d0)
             for _ in range(defect_correct):
                 def_p, def_d, def_g, nrm_old = defects(dx, dy, dz, dtau,
@@ -500,30 +515,192 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             return dx, dy, dz, dtau, dkappa
 
         lam2 = nt.lam_sq(S)
+        lam_cv = nt.lam_as_conevec(S)
+        vtk = jnp.sqrt(tau_l * kappa_l)
+        # centering contribution (zero unless the Sturm path below fills it)
+        zero_hi = cv_zeros(layout, dtype)
+        dxc = zero_hi
+        dzc = zero_hi
+        dyc = jnp.zeros((m,), dtype)
+        dtauc = jnp.zeros((), dtype)
+        dkappac = jnp.zeros((), dtype)
+        xs_b, zs_b = lam_cv, lam_cv          # scaled-space base points
+        tau_b_l, kappa_b_l = tau_l, kappa_l
 
-        # --- affine (predictor) ------------------------------------------
-        dxa, dya, dza, dtaua, dkappaa = direction(
-            cv_neg(lam2), jnp.asarray(-tau * kappa, cd))
-        dxs_a = nt.scale_x_to_v(S, lo(dxa))
-        dzs_a = nt.scale_z_to_v(S, lo(dza))
-        amax_a = jnp.minimum(
-            jnp.minimum(nt.maxstep_scaled(S, dxs_a), nt.maxstep_scaled(S, dzs_a)),
-            jnp.minimum(_pos_step(tau, dtaua), _pos_step(kappa, dkappaa)),
-        )
-        a_aff = jnp.minimum(1.0, amax_a)
-        gap_aff = (
-            gap
-            + a_aff * (cv_dot(x, dza) + cv_dot(z, dxa))
-            + a_aff**2 * cv_dot(dxa, dza)
-            + (tau + a_aff * dtaua) * (kappa + a_aff * dkappaa)
-        )
-        mu_aff = gap_aff / (nu + 1.0)
-        sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
+        sturm = pars.alg == 2 and pars.wr
+        if sturm:
+            # ---- Sturm wide-region iteration (wregion.m): INITIAL
+            # CENTERING -> predictor -> 2nd-order corrector, all with the
+            # one frozen NT scaling / factorization.  The reference spends
+            # a centering solve whenever the iterate is off-center
+            # (wregion.m:47-73); skipping it leaves the predictor fighting
+            # the recentering itself — the alpha ~0.15/0.5 alternation
+            # observed on control07 and the 1.5-2.5x iteration inflation
+            # of rounds 1-3. ----
+            # proximity of the CURRENT iterate: v-space point IS lam, so
+            # iswnbr needs no spectral work
+            w_parts = [S.lam_l ** 2]
+            for ql in S.q_lam:
+                w_parts.append(jd.q_eig(ql).reshape(-1) ** 2)
+            for sig in S.s_lam:
+                w_parts.append((sig ** 2).reshape(-1))
+            w_parts.append((vtk ** 2)[None])
+            w_all = jnp.concatenate(w_parts)
+            delta0, h0, alpha0 = wr.iswnbr(w_all, pars.theta)
+            ok0 = (jnp.isfinite(delta0) & jnp.isfinite(h0) & (h0 > 0)
+                   & jnp.isfinite(alpha0) & (delta0 > 0))
+            fac = jnp.where(ok0, 1.0 - alpha0, 1.0)
+            h_eff = jnp.where(ok0, h0, 0.0)
+            # spectral projection target vTAR = (1-alpha)*max(h, lam) on
+            # the current frames (wregion.m:48)
+            lam_q_vals = [jd.q_eig(ql) for ql in S.q_lam]
+            vt_l = fac * jnp.maximum(h_eff, S.lam_l)
+            vt_q_vals = [fac * jnp.maximum(h_eff, lv) for lv in lam_q_vals]
+            vt_s = [fac * jnp.maximum(h_eff, sig) for sig in S.s_lam]
+            vt_tk = fac * jnp.maximum(h_eff, vtk)
 
-        sm_l = jnp.asarray(sigma * mu, cd)   # corrector target, compute dtype
+            def diag_cv(vals_l, q_vecs, vals_s):
+                s = []
+                for v_ in vals_s:
+                    n_, d_ = v_.shape
+                    s.append(jnp.zeros((n_, d_, d_), v_.dtype)
+                             .at[..., jnp.arange(d_), jnp.arange(d_)]
+                             .set(v_))
+                return ConeVec(l=vals_l, q=tuple(q_vecs), s=tuple(s))
+
+            # ---- initial centering: Newton toward vTAR, residual rows
+            # ZERO (wregion.m:50-55: pv = 2(vTAR - lab), pMode 1); full
+            # step, dropped if it leaves the cone interior (the STOP=-1
+            # rejection of wregion.m:66-72 — here a no-op fallback) ----
+            rc_c = diag_cv(
+                2.0 * S.lam_l * (vt_l - S.lam_l),
+                [jd.q_remap(ql, 2.0 * lv * (v_ - lv))
+                 for ql, lv, v_ in zip(S.q_lam, lam_q_vals, vt_q_vals)],
+                [2.0 * sig * (v_ - sig)
+                 for sig, v_ in zip(S.s_lam, vt_s)])
+            rtk_c = 2.0 * vtk * (vt_tk - vtk)
+            dc = direction(rc_c, rtk_c, r_scale=0.0)
+            dxc_t, dyc_t, dzc_t, dtauc_t, dkappac_t = dc
+            dxs_c = nt.scale_x_to_v(S, lo(dxc_t))
+            dzs_c = nt.scale_z_to_v(S, lo(dzc_t))
+            xs_ct = cv_add(lam_cv, dxs_c)
+            zs_ct = cv_add(lam_cv, dzs_c)
+            tau_ct = tau_l + lo(dtauc_t)
+            kappa_ct = kappa_l + lo(dkappac_t)
+
+            def _strict_interior(cv: ConeVec):
+                oks = []
+                if cv.l.size:
+                    oks.append(jnp.all(cv.l > 0))
+                for xq in cv.q:
+                    oks.append(jnp.all(jd.q_eig(xq)[..., 0] > 0))
+                for xs_ in cv.s:
+                    ch = jnp.linalg.cholesky(xs_)
+                    oks.append(jnp.all(jnp.isfinite(ch)))
+                return jnp.all(jnp.stack(oks)) if oks else jnp.asarray(True)
+
+            fin_c = jnp.all(jnp.stack(
+                [jnp.all(jnp.isfinite(leaf)) for leaf in
+                 jax.tree_util.tree_leaves(dc)]))
+            gate = (ok0 & fin_c & (tau_ct > 0) & (kappa_ct > 0)
+                    & _strict_interior(xs_ct) & _strict_interior(zs_ct))
+
+            def gt(a, b):
+                return jax.tree_util.tree_map(
+                    lambda u, v: jnp.where(gate, u, v), a, b)
+
+            # gate the centering AND the projection target together: a
+            # rejected centering reverts the predictor to plain affine
+            dxc, dzc = gt(dxc_t, zero_hi), gt(dzc_t, zero_hi)
+            dyc = gt(dyc_t, jnp.zeros((m,), dtype))
+            dtauc = gt(dtauc_t, jnp.zeros((), dtype))
+            dkappac = gt(dkappac_t, jnp.zeros((), dtype))
+            xs_b, zs_b = gt(xs_ct, lam_cv), gt(zs_ct, lam_cv)
+            tau_b_l, kappa_b_l = gt(tau_ct, tau_l), gt(kappa_ct, kappa_l)
+            vt_l = gt(vt_l, S.lam_l)
+            vt_q_vals = [gt(v_, lv) for v_, lv in zip(vt_q_vals, lam_q_vals)]
+            vt_s = [gt(v_, sig) for v_, sig in zip(vt_s, S.s_lam)]
+            vt_tk = gt(vt_tk, vtk)
+            vt_q = [jd.q_remap(ql, v_) for ql, v_ in zip(S.q_lam, vt_q_vals)]
+            vtar_cv = diag_cv(vt_l, vt_q, vt_s)
+
+            # ---- predictor from the centered point: pv = -vTAR
+            # (wregion.m:73-94), full residual rows ----
+            rc_p = diag_cv(
+                -S.lam_l * vt_l,
+                [jd.q_remap(ql, -(lv * v_))
+                 for ql, lv, v_ in zip(S.q_lam, lam_q_vals, vt_q_vals)],
+                [-(sig * v_) for sig, v_ in zip(S.s_lam, vt_s)])
+            rtk_p = -(vtk * vt_tk)
+            dxa, dya, dza, dtaua, dkappaa = direction(rc_p, rtk_p)
+            dxs_a = nt.scale_x_to_v(S, lo(dxa))
+            dzs_a = nt.scale_z_to_v(S, lo(dza))
+            maxt1 = jnp.minimum(
+                jnp.minimum(nt.maxstep_from(xs_b, dxs_a),
+                            nt.maxstep_from(zs_b, dzs_a)),
+                jnp.minimum(_pos_step(tau_b_l, lo(dtaua)),
+                            _pos_step(kappa_b_l, lo(dkappaa))))
+            maxt1 = jnp.clip(maxt1, 0.0, 1.0)
+            # ---- 2nd-order corrector, alg=2 (wregion.m:104-119): target
+            # coupling tTAR = 1-(1-maxt1)^3 — implied centering weight
+            # sigma = (1-tTAR)*tTAR <= 1/4; the separate centering step is
+            # what lets the corrector stay this aggressive ----
+            tT = 1.0 - (1.0 - maxt1) ** 3
+            sigma = (1.0 - tT) * tT
+            gap_c = cv_dot(xs_b, zs_b) + tau_b_l * kappa_b_l
+            mu_c = gap_c / (nu + 1.0)
+            dxmdz = cv_sub(dxs_a, dzs_a)
+            dtk_a = (lo(dtaua) * jnp.sqrt(kappa_l / tau_l)
+                     - lo(dkappaa) * jnp.sqrt(tau_l / kappa_l))
+            # gd1 = vTAR^{-1} o dxmdz (wregion.m:100-102)
+            gd1 = ConeVec(
+                l=dxmdz.l / vt_l,
+                q=tuple(jd.q_inv_jmul(vq, dq)
+                        for vq, dq in zip(vt_q, dxmdz.q)),
+                s=tuple(jd.s_inv_jmul_diag(vs, ds)
+                        for vs, ds in zip(vt_s, dxmdz.s)))
+            t2 = cv_jmul(gd1, dxmdz)
+            vtar_inv = diag_cv(
+                1.0 / vt_l, [jd.q_inv(vq) for vq in vt_q],
+                [1.0 / vs for vs in vt_s])
+            pv = cv_add(
+                cv_add(cv_scale(t2, tT / 4.0),
+                       cv_scale(vtar_inv, (1.0 - tT) * tT * mu_c)),
+                cv_scale(vtar_cv, -(1.0 + tT / 4.0)))
+            rc = cv_jmul(lam_cv, pv)
+            gd1_tk = dtk_a / vt_tk
+            pv_tk = ((tT / 4.0) * gd1_tk * dtk_a
+                     + (1.0 - tT) * tT * mu_c / vt_tk
+                     - (1.0 + tT / 4.0) * vt_tk)
+            r_tk = vtk * pv_tk
+        else:
+            # --- legacy Mehrotra affine (predictor) ----------------------
+            dxa, dya, dza, dtaua, dkappaa = direction(
+                cv_neg(lam2), jnp.asarray(-tau * kappa, cd))
+            dxs_a = nt.scale_x_to_v(S, lo(dxa))
+            dzs_a = nt.scale_z_to_v(S, lo(dza))
+            amax_a = jnp.minimum(
+                jnp.minimum(nt.maxstep_scaled(S, dxs_a),
+                            nt.maxstep_scaled(S, dzs_a)),
+                jnp.minimum(_pos_step(tau, dtaua),
+                            _pos_step(kappa, dkappaa)),
+            )
+            a_aff = jnp.minimum(1.0, amax_a)
+            gap_aff = (
+                gap
+                + a_aff * (cv_dot(x, dza) + cv_dot(z, dxa))
+                + a_aff**2 * cv_dot(dxa, dza)
+                + (tau + a_aff * dtaua) * (kappa + a_aff * dkappaa)
+            )
+            mu_aff = gap_aff / (nu + 1.0)
+            sigma = jnp.clip((mu_aff / mu) ** 3, 0.0, 1.0)
+
+            sm_l = jnp.asarray(sigma * mu, cd)  # corrector target
 
         # --- combined (corrector) ----------------------------------------
-        if pars.alg == 0:
+        if sturm:
+            pass                   # rc, r_tk built above
+        elif pars.alg == 0:
             rc = cv_sub(cv_scale(e_scaled, sm_l), lam2)
             r_tk = sm_l - jnp.asarray(tau * kappa, cd)
         elif pars.alg == 1:
@@ -565,10 +742,100 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         dir_defect = jnp.linalg.norm(dax_full[:m] - b * dtau + rp) / (
             jnp.linalg.norm(rp) + mu + jnp.asarray(1e-30, dtype)
         )
+        # base point of the line search (centered when the Sturm path took
+        # the initial centering step; the plain iterate otherwise)
+        x_b = cv_add(x, dxc)
+        z_b = cv_add(z, dzc)
+        tau_b = tau + dtauc
+        kappa_b = kappa + dkappac
+        gap_b = cv_dot(x_b, z_b)
         dxs = nt.scale_x_to_v(S, lo(dx))
         dzs = nt.scale_z_to_v(S, lo(dz))
-        amax_p = jnp.minimum(nt.maxstep_scaled(S, dxs), _pos_step(tau, dtau))
-        amax_d = jnp.minimum(nt.maxstep_scaled(S, dzs), _pos_step(kappa, dkappa))
+        if sturm:
+            amax_p = jnp.minimum(nt.maxstep_from(xs_b, dxs),
+                                 _pos_step(tau_b_l, lo(dtau)))
+            amax_d = jnp.minimum(nt.maxstep_from(zs_b, dzs),
+                                 _pos_step(kappa_b_l, lo(dkappa)))
+        else:
+            amax_p = jnp.minimum(nt.maxstep_scaled(S, dxs),
+                                 _pos_step(tau, dtau))
+            amax_d = jnp.minimum(nt.maxstep_scaled(S, dzs),
+                                 _pos_step(kappa, dkappa))
+        # --- Gondzio multiple centrality correctors (pars.mcc) -----------
+        # New vs the reference (Gondzio '96, lifted to the Jordan frame):
+        # the measured mid-phase pathology on control07 is a tightly
+        # centered bulk (w/mu quantiles 0.85..1.3) with a SINGLE
+        # complementarity pair crashing to ~0.02 mu after each long step —
+        # every crash pins the next boundary step at ~0.2 and costs a
+        # centering iteration.  Each round re-solves with the outlier
+        # projection as the complementarity target (residual rows zero),
+        # REUSING the factorization, and is kept only if it lengthens the
+        # boundary step.
+        for _ in range(max(0, int(pars.mcc))):
+            th = jnp.minimum(
+                1.0, 1.5 * gamma * lo(jnp.minimum(amax_p, amax_d)))
+            xs_t = jax.tree_util.tree_map(
+                lambda a, d_: a + th * d_, xs_b, dxs)
+            zs_t = jax.tree_util.tree_map(
+                lambda a, d_: a + th * d_, zs_b, dzs)
+            w_t = cv_jmul(xs_t, zs_t)
+            tau_t = tau_b_l + th * lo(dtau)
+            kap_t = kappa_b_l + th * lo(dkappa)
+            wtk_t = tau_t * kap_t
+            mu_t = (cv_dot(xs_t, zs_t) + wtk_t) / (nu + 1.0)
+            blo_, bhi_ = 0.1 * mu_t, 10.0 * mu_t
+            rcg_q = []
+            for wq in w_t.q:
+                ev = jd.q_eig(wq)
+                rcg_q.append(jd.q_remap(wq, jnp.clip(ev, blo_, bhi_) - ev))
+            rcg_s = []
+            from .linalg_ops import eigh_multi as _eigh_multi
+
+            for ww, V in (_eigh_multi(list(w_t.s)) if w_t.s else []):
+                dw = jnp.clip(ww, blo_, bhi_) - ww
+                rcg_s.append(jnp.einsum(
+                    "...ik,...k,...jk->...ij", V, dw, V))
+            rc_g = ConeVec(
+                l=jnp.clip(w_t.l, blo_, bhi_) - w_t.l,
+                q=tuple(rcg_q), s=tuple(rcg_s))
+            rtk_g = jnp.clip(wtk_t, blo_, bhi_) - wtk_t
+            dxg, dyg, dzg, dtaug, dkappag = direction(
+                rc_g, rtk_g, r_scale=0.0)
+            dx2 = cv_add(dx, dxg)
+            dy2 = dy + dyg
+            dz2 = cv_add(dz, dzg)
+            dtau2 = dtau + dtaug
+            dkappa2 = dkappa + dkappag
+            dxs2 = nt.scale_x_to_v(S, lo(dx2))
+            dzs2 = nt.scale_z_to_v(S, lo(dz2))
+            amax_p2 = jnp.minimum(nt.maxstep_from(xs_b, dxs2),
+                                  _pos_step(tau_b_l, lo(dtau2)))
+            amax_d2 = jnp.minimum(nt.maxstep_from(zs_b, dzs2),
+                                  _pos_step(kappa_b_l, lo(dkappa2)))
+            fin_g = jnp.all(jnp.stack(
+                [jnp.all(jnp.isfinite(leaf)) for leaf in
+                 jax.tree_util.tree_leaves((dxg, dyg, dzg, dtaug,
+                                            dkappag))]))
+            better = fin_g & (
+                jnp.minimum(amax_p2, amax_d2)
+                > 1.05 * lo(jnp.minimum(amax_p, amax_d)))
+
+            def _pk(a2, a):
+                return jax.tree_util.tree_map(
+                    lambda u, v: jnp.where(better, u, v), a2, a)
+
+            dx, dz = _pk(dx2, dx), _pk(dz2, dz)
+            dy = jnp.where(better, dy2, dy)
+            dtau = jnp.where(better, dtau2, dtau)
+            dkappa = jnp.where(better, dkappa2, dkappa)
+            dxs, dzs = _pk(dxs2, dxs), _pk(dzs2, dzs)
+            amax_p = jnp.where(better, amax_p2, amax_p)
+            amax_d = jnp.where(better, amax_d2, amax_d)
+        if pars.mcc:
+            dax_full = aop.apply(dx)   # refresh for the stepdif model
+
+        amax_p = jnp.asarray(amax_p, dtype)
+        amax_d = jnp.asarray(amax_d, dtype)
         amax = jnp.minimum(amax_p, amax_d)
         alpha = jnp.minimum(gamma * amax, 1.0)
         # alg=0 pins theta=1 (checkpars.m:62-75), where the wide region
@@ -579,13 +846,27 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         if use_wr:
             # wide-region acceptance (wregion.m:136-150): largest batched
             # trial step keeping delta(v) <= beta; never larger than the
-            # fraction-to-boundary step.  Spectra evaluated in the compute
+            # fraction-to-boundary step, searched from the (possibly
+            # centered) base point.  Spectra evaluated in the compute
             # dtype (casting the f64 scalars down keeps the batched eigh
             # off the emulated-f64 path).
-            lam_cv = nt.lam_as_conevec(S)
+            # fullt (widelen.m:46-60): the gap-elimination step of the
+            # combined direction; trials below fullt/10 get the relaxed
+            # delta < 1 acceptance (widelen.m:68)
+            gap_tot = gap_b + tau_b * kappa_b
+            dgap = (cv_dot(x_b, dz) + cv_dot(z_b, dx)
+                    + tau_b * dkappa + kappa_b * dtau)
+            qgap = cv_dot(dx, dz) + dtau * dkappa
+            qneg = jnp.minimum(qgap, 0.0)
+            fullt = jnp.where(
+                dgap < -1e-5 * gap_tot,
+                2.0 * gap_tot / (-dgap + jnp.sqrt(jnp.maximum(
+                    dgap**2 - 4.0 * gap_tot * qneg, 0.0))),
+                2.0 * alpha)
             t_wr, _ = wr.widelen_batched(
-                lam_cv, dxs, dzs, tau_l, lo(dtau), kappa_l, lo(dkappa),
-                lo(alpha), pars.theta, pars.beta,
+                xs_b, dxs, dzs, tau_b_l, lo(dtau), kappa_b_l, lo(dkappa),
+                lo(alpha), pars.theta, pars.beta, zbase=zs_b,
+                fullt=lo(fullt),
             )
             alpha = jnp.minimum(alpha, t_wr)
 
@@ -613,9 +894,9 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             e11 = cv_dot(u1, u1)
             e12 = cv_dot(u1, u2)
             e22 = cv_dot(u2, u2)
-            xz = gap
-            xdz = cv_dot(x, dz)
-            zdx = cv_dot(z, dx)
+            xz = gap_b
+            xdz = cv_dot(x_b, dz)
+            zdx = cv_dot(z_b, dx)
             dxdz = cv_dot(dx, dz)
 
             fr = jnp.asarray([1.0, 0.95, 0.85, 0.7, 0.5], dtype)
@@ -629,8 +910,8 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             rd2 = (dd + 2 * TD * d1 - 2 * TP * d2
                    + TD**2 * e11 - 2 * TP * TD * e12 + TP**2 * e22)
             gap_t = (xz + TP * zdx + TD * xdz + TP * TD * dxdz
-                     + (tau + TP * dtau) * (kappa + TD * dkappa))
-            tau_t = tau + TP * dtau
+                     + (tau_b + TP * dtau) * (kappa_b + TD * dkappa))
+            tau_t = tau_b + TP * dtau
             w1, w2 = pars.w
             merit = (w1 * jnp.sqrt(jnp.maximum(rp2, 0.0))
                      + w2 * jnp.sqrt(jnp.maximum(rd2, 0.0))
@@ -638,7 +919,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             # only accept pairs that do not increase complementarity beyond
             # the equal-step value (safeguard, trydif-style)
             gap_eq = (xz + alpha * (zdx + xdz) + alpha**2 * dxdz
-                      + (tau + alpha * dtau) * (kappa + alpha * dkappa))
+                      + (tau_b + alpha * dtau) * (kappa_b + alpha * dkappa))
             ok_gap = gap_t <= jnp.maximum(1.25 * gap_eq, 0.0)
             merit = jnp.where(ok_gap, merit, jnp.inf)
             flat = jnp.argmin(merit)
@@ -657,14 +938,13 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 # the candidate iterate stays in the wide region: recompute
                 # the product spectra at (tp, td) and run the iswnbr
                 # proximity test; reject back to the equal step otherwise.
-                lam_cv2 = nt.lam_as_conevec(S)
                 tp_l, td_l = lo(tp), lo(td)
-                xs_c = jax.tree_util.tree_map(
-                    lambda a, d_: a + tp_l * d_, lam_cv2, dxs)
-                zs_c = jax.tree_util.tree_map(
-                    lambda a, d_: a + td_l * d_, lam_cv2, dzs)
-                wspec = wr.prod_spectrum(xs_c, zs_c)
-                wtk = lo((tau + tp * dtau) * (kappa + td * dkappa))
+                xs_try = jax.tree_util.tree_map(
+                    lambda a, d_: a + tp_l * d_, xs_b, dxs)
+                zs_try = jax.tree_util.tree_map(
+                    lambda a, d_: a + td_l * d_, zs_b, dzs)
+                wspec = wr.prod_spectrum(xs_try, zs_try)
+                wtk = lo((tau_b + tp * dtau) * (kappa_b + td * dkappa))
                 dl, _, _ = wr.iswnbr(
                     jnp.concatenate([wspec, wtk[None]]), pars.theta)
                 ok_dif = dl <= pars.beta
@@ -733,11 +1013,11 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
 
         def bt_cond(carry):
             tp_, td_, i = carry
-            xc = jax.tree_util.tree_map(lambda a, d_: a + tp_ * d_, x, dx)
-            zc = jax.tree_util.tree_map(lambda a, d_: a + td_ * d_, z, dz)
+            xc = jax.tree_util.tree_map(lambda a, d_: a + tp_ * d_, x_b, dx)
+            zc = jax.tree_util.tree_map(lambda a, d_: a + td_ * d_, z_b, dz)
             ok = jnp.logical_and(
-                _interior(xc, tau + tp_ * dtau, kappa + td_ * dkappa),
-                _interior(zc, tau + tp_ * dtau, kappa + td_ * dkappa))
+                _interior(xc, tau_b + tp_ * dtau, kappa_b + td_ * dkappa),
+                _interior(zc, tau_b + tp_ * dtau, kappa_b + td_ * dkappa))
             return jnp.logical_and(jnp.logical_not(ok), i < 12)
 
         def bt_body(carry):
@@ -750,11 +1030,11 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
              jnp.asarray(0)))
 
         new = IPMState(
-            x=jax.tree_util.tree_map(lambda a, d: a + tp * d, x, dx),
-            y=y + td * dy,
-            z=jax.tree_util.tree_map(lambda a, d: a + td * d, z, dz),
-            tau=tau + tp * dtau,
-            kappa=kappa + td * dkappa,
+            x=jax.tree_util.tree_map(lambda a, d: a + tp * d, x_b, dx),
+            y=y + dyc + td * dy,
+            z=jax.tree_util.tree_map(lambda a, d: a + td * d, z_b, dz),
+            tau=tau_b + tp * dtau,
+            kappa=kappa_b + td * dkappa,
         )
 
         alpha = jnp.minimum(tp, td)   # reported step (stall detection)
@@ -766,8 +1046,8 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             mu=mu,
             alpha=alpha,
             sigma=sigma,
-            err_p=res_p / tau / (1.0 + normb),
-            err_d=res_d / tau / (1.0 + normc),
+            err_p=res_p / tau / den_p,
+            err_d=res_d / tau / den_d,
             gap_rel=jnp.abs(cxs - bys) / (1.0 + jnp.abs(cxs) + jnp.abs(bys)),
             cx=cx * cscale,
             by=by * cscale,
@@ -777,6 +1057,10 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             res_p_abs=res_p,
             res_d_abs=res_d,
             dir_defect=dir_defect,
+            wr_delta=(delta0 if sturm else jnp.zeros((), dtype)),
+            centered=(gate.astype(dtype) if sturm
+                      else jnp.zeros((), dtype)),
+            maxt1=(maxt1 if sturm else jnp.zeros((), dtype)),
         )
         return new, stats
 

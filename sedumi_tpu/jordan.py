@@ -103,6 +103,22 @@ def q_quad_rep_apply(u: jax.Array, z: jax.Array) -> jax.Array:
     return 2.0 * u * uz[..., None] - uju[..., None] * jz
 
 
+def q_remap(x: jax.Array, vals: jax.Array) -> jax.Array:
+    """Rebuild a Lorentz vector from new spectral values on x's own frame.
+
+    vals [..., 2] aligned with q_eig's (lam-, lam+) order: returns
+    sum_i vals_i * f_i with f_i = (1, -+ xbar/||xbar||)/2 the frame of x.
+    Used for spectral targets that share the current point's frame (the
+    wide-region projection vTAR of wregion.m:48, built per spectral value).
+    """
+    nb = q_norm_bar(x)
+    head = 0.5 * (vals[..., 0] + vals[..., 1])
+    scale = jnp.where(nb > 0, 0.5 * (vals[..., 1] - vals[..., 0])
+                      / jnp.where(nb > 0, nb, 1.0), 0.0)
+    tail = scale[..., None] * x[..., 1:]
+    return jnp.concatenate([head[..., None], tail], axis=-1)
+
+
 def q_maxstep(x: jax.Array, dx: jax.Array) -> jax.Array:
     """Per-cone sup {a >= 0 : x + t*dx in Q for all t in [0,a]} for x in int(Q).
 

@@ -109,10 +109,40 @@ def _jacobi(A: jax.Array, sweeps: int, with_vectors: bool, sort: bool):
             V = V.at[..., :, q].set(sT * vp + cT * vq)
         return A, V
 
-    def sweep_body(_, carry):
-        return jax.lax.fori_loop(0, n - 1, round_body, carry)
+    # Adaptive sweep count: cyclic Jacobi converges quadratically, so
+    # mid-run well-conditioned batches finish in 4-6 sweeps while the
+    # static budget is sized for the worst case (10-14).  Each sweep is
+    # n-1 SEQUENTIAL rotation rounds — the latency that dominates NT
+    # scaling on TPU — so stopping on a measured off-diagonal norm
+    # (relative to the diagonal scale, max over the batch) cuts the hot
+    # kernel's critical path roughly in half at equal accuracy.  The
+    # while_loop is bounded by the static `sweeps` worst case.
+    ueps0 = eps_for(A.dtype)
 
-    A, V = jax.lax.fori_loop(0, sweeps, sweep_body, (A, V))
+    idx_n = jnp.arange(n)
+
+    def _off(Acur):
+        # zero the diagonal BEFORE summing: computing sum(A^2)-sum(d^2)
+        # cancels catastrophically and floors the estimate at
+        # sqrt(eps)*||A|| (measured: stopped at off ~ 7e-8 relative)
+        d = jnp.diagonal(Acur, axis1=-2, axis2=-1)
+        dn = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        Ao = Acur.at[..., idx_n, idx_n].set(0.0)
+        off = jnp.sqrt(jnp.sum(Ao * Ao, axis=(-2, -1)))
+        return jnp.max(off / jnp.maximum(dn, jnp.asarray(1e-30, Acur.dtype)))
+
+    def sweep_cond(carry):
+        A_, V_, i = carry
+        return jnp.logical_and(i < sweeps,
+                               jnp.logical_or(i < 2, _off(A_) > 4 * ueps0))
+
+    def sweep_body(carry):
+        A_, V_, i = carry
+        A_, V_ = jax.lax.fori_loop(0, n - 1, round_body, (A_, V_))
+        return A_, V_, i + 1
+
+    A, V, _ = jax.lax.while_loop(sweep_cond, sweep_body,
+                                 (A, V, jnp.asarray(0, jnp.int32)))
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     w = w[..., :n0] if n != n0 else w
     if with_vectors:

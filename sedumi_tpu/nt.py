@@ -220,6 +220,44 @@ def lam_as_conevec(S: Scaling) -> ConeVec:
     return ConeVec(l=S.lam_l, q=S.q_lam, s=tuple(s))
 
 
+def maxstep_from(base: ConeVec, dv: ConeVec) -> jax.Array:
+    """sup {a : base + a*dv in K} for a GENERAL interior scaled-space point.
+
+    The centered iterate xc = v + dxc of the initial centering step
+    (wregion.m:56-58) is not diagonal in the PSD buckets, so the reference
+    computes maxstep via psdfactor(xc) + psdinvscale + minpsdeig
+    (maxstep.m:62-66).  Same here, batched: per bucket one (eps-guarded)
+    Cholesky base = Lc Lc', then min-eig of Lc^{-1} dv Lc^{-T}.
+    """
+    dt = base.l.dtype if base.l.size else (
+        base.s[0].dtype if base.s else base.q[0].dtype)
+    big = jnp.asarray(jnp.inf, dt)
+    eps = jnp.finfo(dt).eps
+    steps = [jd.l_maxstep(base.l, dv.l)]
+    for bq, dq in zip(base.q, dv.q):
+        steps.append(jnp.min(jd.q_maxstep(bq, dq), initial=big))
+    from .linalg_ops import eigvalsh_multi
+
+    m_list = []
+    for bs, ds in zip(base.s, dv.s):
+        d = bs.shape[-1]
+        idx = jnp.arange(d)
+        mx = jnp.max(jnp.abs(jnp.diagonal(bs, axis1=-2, axis2=-1)), axis=-1)
+        lc = jnp.linalg.cholesky(bs.at[..., idx, idx].add(
+            4 * eps * mx[..., None]))
+        t1 = jax.scipy.linalg.solve_triangular(lc, ds, lower=True)
+        m = jax.scipy.linalg.solve_triangular(
+            lc, jnp.swapaxes(t1, -1, -2), lower=True)
+        m = 0.5 * (m + jnp.swapaxes(m, -1, -2))
+        m_list.append(m)
+    for lmin_all in (eigvalsh_multi(m_list) if m_list else []):
+        lmin = jnp.min(lmin_all, axis=-1)
+        st = jnp.where(lmin < 0,
+                       -1.0 / jnp.minimum(lmin, -jnp.finfo(dt).tiny), big)
+        steps.append(jnp.min(st, initial=big))
+    return jnp.min(jnp.stack(steps)) if steps else big
+
+
 def maxstep_scaled(S: Scaling, dv: ConeVec) -> jax.Array:
     """sup {a : lam + a*dv in K} over the whole product, in scaled space.
 

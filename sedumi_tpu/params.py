@@ -147,6 +147,15 @@ class Pars:
     pack_round: int = 64  # round superblock orders up to this multiple with
     #                       barrier padding (collapses compiled-kernel count;
     #                       0 disables — transform.pretransfo)
+    mcc: int = 2          # Gondzio multiple-centrality-corrector rounds per
+    #                       iteration (new vs the reference; Gondzio '96
+    #                       lifted to the Jordan frame).  Each round reuses
+    #                       the iteration's factorization to project
+    #                       complementarity OUTLIER pairs back toward mu —
+    #                       the observed mid-phase pattern on control07 is a
+    #                       tightly centered bulk with one pair crashing to
+    #                       0.02 mu, each crash costing a centering
+    #                       iteration.  0 disables.
     mesh_shape: Mapping[str, int] | None = None
     checkpoint_every: int = 0
     checkpoint_path: str | None = None

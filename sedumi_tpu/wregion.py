@@ -98,15 +98,31 @@ def widelen_batched(
     theta: float,
     beta: float,
     n_trials: int = 8,
+    zbase: ConeVec | None = None,
+    fullt=None,
 ):
     """Largest trial step t in (0, t_max] keeping the iterate in the wide
     region (delta <= beta), evaluated as ONE batched sweep over a geometric
     grid of candidates (widelen.m's sequential bisection, TPU-batched).
 
+    `lam` is the x-side base point and `zbase` (default: lam) the z-side —
+    they differ after the initial centering step of wregion.m:56-58, where
+    the search starts from xc = v + dxc, zc = v + dzc.
+
+    `fullt` is the gap-elimination step (widelen.m:46-60): the reference
+    RELAXES the acceptance to delta < 1 for trial steps below fullt/10
+    (widelen.m:68) — when the direction hits the cone wall long before it
+    exhausts its gap progress, the boundary step is taken even near the
+    edge of the wide region.  Omitting fullt keeps the strict delta <=
+    beta rule (rounds 1-3 behavior: measurably shorter steps and ~2x the
+    reference's iteration counts on control07/trto3).
+
     Returns the chosen step (falls back to the smallest candidate when all
     trials leave the region — the region is open around t=0, so small steps
     are always safe in exact arithmetic).
     """
+    if zbase is None:
+        zbase = lam
     # the original geometric grid, EXTENDED by two deeper candidates so the
     # all-outside fallback below chooses among MEASURED trials (round-2
     # halved the best candidate blindly; VERDICT flagged the unverified
@@ -121,7 +137,7 @@ def widelen_batched(
 
     def delta_at(t):
         xs = jax.tree_util.tree_map(lambda a, d: a + t * d, lam, dxs)
-        zs = jax.tree_util.tree_map(lambda a, d: a + t * d, lam, dzs)
+        zs = jax.tree_util.tree_map(lambda a, d: a + t * d, zbase, dzs)
         w = prod_spectrum(xs, zs)
         w = jnp.concatenate([w, ((tau + t * dtau) * (kappa + t * dkappa))[None]])
         d, _, _ = iswnbr(w, theta)
@@ -129,6 +145,10 @@ def widelen_batched(
 
     deltas = jax.vmap(delta_at)(ts)
     ok = deltas <= beta
+    if fullt is not None:
+        # widelen.m:68 relaxed acceptance for boundary-limited directions
+        ok = jnp.logical_or(
+            ok, jnp.logical_and(ts < 0.1 * fullt, deltas < 1.0))
     # first (largest-t) candidate that is inside the region
     idx = jnp.argmax(ok)
     any_ok = jnp.any(ok)
