@@ -144,6 +144,67 @@ def main() -> None:
             _progress(name, {"error": f"{type(e).__name__}: {e}"})
 
     _RESULT["vs_baseline"] = round(passes / max(attempted, 1), 4)
+
+    # --- large-block MXU throughput probe (VERDICT r3 item 1b): the six
+    # examples are latency-bound (d <= 544, tiny m); this measures the
+    # regime the design targets.  Skipped when the deadline is near.
+    if os.environ.get("SEDUMI_BENCH_LARGE", "1") != "0" and \
+            time.time() - _T0 < deadline - 240:
+        try:
+            from sedumi_tpu.profiling import bench_large_block
+
+            lb = [bench_large_block(d=1024, k=1, m=512),
+                  bench_large_block(d=256, k=16, m=1024)]
+            _RESULT["large_block"] = lb
+            print(json.dumps({"large_block": lb}), file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            _RESULT["large_block"] = f"error: {type(e).__name__}: {e}"
+
+    # --- randomized stress lane on the real device (VERDICT r3 item 8):
+    # the phase ladder's escalation heuristics see more than six problems
+    # on actual hardware.  One fixed shape per family => jit-cache hits.
+    if os.environ.get("SEDUMI_BENCH_STRESS", "1") != "0" and \
+            time.time() - _T0 < deadline - 180:
+        try:
+            from sedumi_tpu.generators import feasible_problem
+
+            stress_ok = 0
+            stress_n = 0
+            sdetail = {}
+            fams = [("mix", {"l": 12, "q": [5, 5], "s": [16, 16]}, 30),
+                    ("sdp", {"s": [24, 24]}, 24)]
+            for fam, K_, m_ in fams:
+                for seed in range(5):
+                    if time.time() - _T0 > deadline - 90:
+                        break
+                    At, b, c, Ks = feasible_problem(K_, m_, seed=seed)
+                    if seed % 2:
+                        # badly scaled variant (f32-hostile): blow row
+                        # scales over 6 decades, exercising the ladder
+                        sc = np.logspace(-3, 3, m_)
+                        At = At @ np.diag(sc) if not hasattr(At, "multiply") \
+                            else At.multiply(sc[None, :]).tocsc()
+                        b = np.asarray(b).ravel() * sc
+                    stress_n += 1
+                    _, _, inf_ = sedumi(At, b, c, Ks, {"fid": 0,
+                                                       "errors": 1})
+                    errs = inf_.get("err", [1.0])
+                    good = (inf_["pinf"] == 0 and inf_["dinf"] == 0
+                            and inf_["numerr"] < 2
+                            and max(abs(e) for e in errs) < 1e-6)
+                    stress_ok += int(good)
+                    sdetail[f"{fam}{seed}"] = {
+                        "numerr": inf_["numerr"],
+                        "maxerr": float(f"{max(abs(e) for e in errs):.2e}"),
+                        "ok": bool(good)}
+            _RESULT["stress"] = {"ok": stress_ok, "n": stress_n,
+                                 "detail": sdetail}
+            print(json.dumps({"stress": _RESULT["stress"]}),
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            _RESULT["stress"] = f"error: {type(e).__name__}: {e}"
+
     watchdog.cancel()
     _emit_final()
 

@@ -527,7 +527,11 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         xs_b, zs_b = lam_cv, lam_cv          # scaled-space base points
         tau_b_l, kappa_b_l = tau_l, kappa_l
 
-        sturm = pars.alg == 2 and pars.wr
+        # the HYBRID phase skips the Sturm centering and the Gondzio
+        # rounds: it is a sub-floor endgame polisher entered for a handful
+        # of iterations, and the extra solves/eighs tripled its (already
+        # 10-minute-scale) XLA compile on OH-sized layouts
+        sturm = pars.alg == 2 and pars.wr and not hybrid
         if sturm:
             # ---- Sturm wide-region iteration (wregion.m): INITIAL
             # CENTERING -> predictor -> 2nd-order corrector, all with the
@@ -635,9 +639,9 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             dxa, dya, dza, dtaua, dkappaa = direction(rc_p, rtk_p)
             dxs_a = nt.scale_x_to_v(S, lo(dxa))
             dzs_a = nt.scale_z_to_v(S, lo(dza))
+            ms_x, ms_z = nt.maxstep_pair(xs_b, dxs_a, zs_b, dzs_a)
             maxt1 = jnp.minimum(
-                jnp.minimum(nt.maxstep_from(xs_b, dxs_a),
-                            nt.maxstep_from(zs_b, dzs_a)),
+                jnp.minimum(ms_x, ms_z),
                 jnp.minimum(_pos_step(tau_b_l, lo(dtaua)),
                             _pos_step(kappa_b_l, lo(dkappaa))))
             maxt1 = jnp.clip(maxt1, 0.0, 1.0)
@@ -752,10 +756,9 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         dxs = nt.scale_x_to_v(S, lo(dx))
         dzs = nt.scale_z_to_v(S, lo(dz))
         if sturm:
-            amax_p = jnp.minimum(nt.maxstep_from(xs_b, dxs),
-                                 _pos_step(tau_b_l, lo(dtau)))
-            amax_d = jnp.minimum(nt.maxstep_from(zs_b, dzs),
-                                 _pos_step(kappa_b_l, lo(dkappa)))
+            ms_x, ms_z = nt.maxstep_pair(xs_b, dxs, zs_b, dzs)
+            amax_p = jnp.minimum(ms_x, _pos_step(tau_b_l, lo(dtau)))
+            amax_d = jnp.minimum(ms_z, _pos_step(kappa_b_l, lo(dkappa)))
         else:
             amax_p = jnp.minimum(nt.maxstep_scaled(S, dxs),
                                  _pos_step(tau, dtau))
@@ -771,7 +774,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         # projection as the complementarity target (residual rows zero),
         # REUSING the factorization, and is kept only if it lengthens the
         # boundary step.
-        for _ in range(max(0, int(pars.mcc))):
+        for _ in range(max(0, int(pars.mcc)) if not hybrid else 0):
             th = jnp.minimum(
                 1.0, 1.5 * gamma * lo(jnp.minimum(amax_p, amax_d)))
             xs_t = jax.tree_util.tree_map(
@@ -808,10 +811,9 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             dkappa2 = dkappa + dkappag
             dxs2 = nt.scale_x_to_v(S, lo(dx2))
             dzs2 = nt.scale_z_to_v(S, lo(dz2))
-            amax_p2 = jnp.minimum(nt.maxstep_from(xs_b, dxs2),
-                                  _pos_step(tau_b_l, lo(dtau2)))
-            amax_d2 = jnp.minimum(nt.maxstep_from(zs_b, dzs2),
-                                  _pos_step(kappa_b_l, lo(dkappa2)))
+            ms_x2, ms_z2 = nt.maxstep_pair(xs_b, dxs2, zs_b, dzs2)
+            amax_p2 = jnp.minimum(ms_x2, _pos_step(tau_b_l, lo(dtau2)))
+            amax_d2 = jnp.minimum(ms_z2, _pos_step(kappa_b_l, lo(dkappa2)))
             fin_g = jnp.all(jnp.stack(
                 [jnp.all(jnp.isfinite(leaf)) for leaf in
                  jax.tree_util.tree_leaves((dxg, dyg, dzg, dtaug,
@@ -831,7 +833,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             dxs, dzs = _pk(dxs2, dxs), _pk(dzs2, dzs)
             amax_p = jnp.where(better, amax_p2, amax_p)
             amax_d = jnp.where(better, amax_d2, amax_d)
-        if pars.mcc:
+        if pars.mcc and not hybrid:
             dax_full = aop.apply(dx)   # refresh for the stepdif model
 
         amax_p = jnp.asarray(amax_p, dtype)

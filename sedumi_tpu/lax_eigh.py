@@ -131,10 +131,16 @@ def _jacobi(A: jax.Array, sweeps: int, with_vectors: bool, sort: bool):
         off = jnp.sqrt(jnp.sum(Ao * Ao, axis=(-2, -1)))
         return jnp.max(off / jnp.maximum(dn, jnp.asarray(1e-30, Acur.dtype)))
 
+    # threshold 8*eps*sqrt(n): the achievable off/||diag|| floor scales
+    # like sqrt(n)*eps (measured on TPU f32 at n=176: floor 2.85e-6 =
+    # 1.8*sqrt(n)*eps; a bare 4*eps threshold never fires and the loop
+    # always runs its full worst-case budget)
+    thresh = 8.0 * ueps0 * float(np.sqrt(n))
+
     def sweep_cond(carry):
         A_, V_, i = carry
         return jnp.logical_and(i < sweeps,
-                               jnp.logical_or(i < 2, _off(A_) > 4 * ueps0))
+                               jnp.logical_or(i < 2, _off(A_) > thresh))
 
     def sweep_body(carry):
         A_, V_, i = carry
@@ -175,6 +181,19 @@ def _sweeps_for(n: int, dtype=None) -> int:
     if n <= 256:
         return 10 if f32 else 12
     return 12 if f32 else 14
+
+
+def coarse_sweeps_for(n: int, dtype=None) -> int:
+    """Line-search-grade sweep budget (~1e-3 relative spectra).
+
+    The wide-region proximity test against beta=0.5 (iswnbr), the maxstep
+    boundary estimates (protected downstream by the interior backtracking
+    probe) and the Gondzio outlier clip need ~3 digits, not machine
+    precision; quadratic convergence makes the last 3-4 sweeps pure
+    precision polish.  Each sweep is n-1 sequential rotation rounds — the
+    TPU latency driver — so the cheap budget is a direct wall-clock cut.
+    """
+    return max(3, _sweeps_for(n, dtype) - 4)
 
 
 def jacobi_eigh(A: jax.Array, sweeps: int | None = None, sort: bool = True):

@@ -51,17 +51,20 @@ def _use_jacobi() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def eigh(A: jax.Array, sort: bool = False):
+def eigh(A: jax.Array, sort: bool = False, sweeps: int | None = None):
     """(w, V) batched; eigenvalue ORDER IS UNSPECIFIED unless sort=True
-    (the IPM never needs it; jnp.sort compiles pathologically on TPU)."""
+    (the IPM never needs it; jnp.sort compiles pathologically on TPU).
+    `sweeps` caps the Jacobi budget (coarse line-search spectra); the
+    LAPACK path ignores it."""
     if _use_jacobi():
-        return jacobi_eigh(A, sort=sort)
+        return jacobi_eigh(A, sweeps=sweeps, sort=sort)
     return jnp.linalg.eigh(A)
 
 
-def eigvalsh(A: jax.Array, sort: bool = False) -> jax.Array:
+def eigvalsh(A: jax.Array, sort: bool = False,
+             sweeps: int | None = None) -> jax.Array:
     if _use_jacobi():
-        return jacobi_eigvalsh(A, sort=sort)
+        return jacobi_eigvalsh(A, sweeps=sweeps, sort=sort)
     return jnp.linalg.eigvalsh(A)
 
 
@@ -86,7 +89,7 @@ def _pad_stack(mats):
     return jnp.concatenate(padded, axis=0), dmax
 
 
-def eigh_multi(mats):
+def eigh_multi(mats, sweeps: int | None = None):
     """Batched eigh over a LIST of per-bucket [k_i, d_i, d_i] batches in
     ONE Jacobi kernel call (pad to dmax + concatenate).
 
@@ -98,9 +101,9 @@ def eigh_multi(mats):
     diagonal slots, so slicing requires unsorted output).
     """
     if len(mats) <= 1 or not _use_jacobi():
-        return [eigh(a) for a in mats]
+        return [eigh(a, sweeps=sweeps) for a in mats]
     A, _ = _pad_stack(mats)
-    w, V = jacobi_eigh(A, sort=False)
+    w, V = jacobi_eigh(A, sweeps=sweeps, sort=False)
     out = []
     off = 0
     for a in mats:
@@ -110,12 +113,12 @@ def eigh_multi(mats):
     return out
 
 
-def eigvalsh_multi(mats):
+def eigvalsh_multi(mats, sweeps: int | None = None):
     """eigh_multi without vectors; returns a list of [k_i, d_i] batches."""
     if len(mats) <= 1 or not _use_jacobi():
-        return [eigvalsh(a) for a in mats]
+        return [eigvalsh(a, sweeps=sweeps) for a in mats]
     A, _ = _pad_stack(mats)
-    w = jacobi_eigvalsh(A, sort=False)
+    w = jacobi_eigvalsh(A, sweeps=sweeps, sort=False)
     out = []
     off = 0
     for a in mats:

@@ -220,26 +220,13 @@ def lam_as_conevec(S: Scaling) -> ConeVec:
     return ConeVec(l=S.lam_l, q=S.q_lam, s=tuple(s))
 
 
-def maxstep_from(base: ConeVec, dv: ConeVec) -> jax.Array:
-    """sup {a : base + a*dv in K} for a GENERAL interior scaled-space point.
-
-    The centered iterate xc = v + dxc of the initial centering step
-    (wregion.m:56-58) is not diagonal in the PSD buckets, so the reference
-    computes maxstep via psdfactor(xc) + psdinvscale + minpsdeig
-    (maxstep.m:62-66).  Same here, batched: per bucket one (eps-guarded)
-    Cholesky base = Lc Lc', then min-eig of Lc^{-1} dv Lc^{-T}.
-    """
-    dt = base.l.dtype if base.l.size else (
-        base.s[0].dtype if base.s else base.q[0].dtype)
-    big = jnp.asarray(jnp.inf, dt)
-    eps = jnp.finfo(dt).eps
-    steps = [jd.l_maxstep(base.l, dv.l)]
-    for bq, dq in zip(base.q, dv.q):
-        steps.append(jnp.min(jd.q_maxstep(bq, dq), initial=big))
-    from .linalg_ops import eigvalsh_multi
-
+def _maxstep_psd_probes(base: ConeVec, dv: ConeVec):
+    """Per-bucket probe matrices Lc^{-1} dv Lc^{-T} for the generalized
+    maxstep (maxstep.m:62-66 role): min-eig of each bounds the step."""
     m_list = []
     for bs, ds in zip(base.s, dv.s):
+        dt = bs.dtype
+        eps = jnp.finfo(dt).eps
         d = bs.shape[-1]
         idx = jnp.arange(d)
         mx = jnp.max(jnp.abs(jnp.diagonal(bs, axis1=-2, axis2=-1)), axis=-1)
@@ -248,14 +235,82 @@ def maxstep_from(base: ConeVec, dv: ConeVec) -> jax.Array:
         t1 = jax.scipy.linalg.solve_triangular(lc, ds, lower=True)
         m = jax.scipy.linalg.solve_triangular(
             lc, jnp.swapaxes(t1, -1, -2), lower=True)
-        m = 0.5 * (m + jnp.swapaxes(m, -1, -2))
-        m_list.append(m)
-    for lmin_all in (eigvalsh_multi(m_list) if m_list else []):
+        m_list.append(0.5 * (m + jnp.swapaxes(m, -1, -2)))
+    return m_list
+
+
+def _coarse(cv: ConeVec) -> int | None:
+    """Coarse Jacobi budget for line-search spectra (lax_eigh note)."""
+    from .lax_eigh import coarse_sweeps_for
+
+    dims = [s.shape[-1] for s in cv.s]
+    if not dims:
+        return None
+    dt = cv.s[0].dtype
+    return coarse_sweeps_for(max(dims), dt)
+
+
+def _psd_steps(m_list, dt, sweeps=None):
+    from .linalg_ops import eigvalsh_multi
+
+    big = jnp.asarray(jnp.inf, dt)
+    out = []
+    for lmin_all in (eigvalsh_multi(m_list, sweeps=sweeps)
+                     if m_list else []):
         lmin = jnp.min(lmin_all, axis=-1)
         st = jnp.where(lmin < 0,
                        -1.0 / jnp.minimum(lmin, -jnp.finfo(dt).tiny), big)
-        steps.append(jnp.min(st, initial=big))
+        out.append(jnp.min(st, initial=big))
+    return out
+
+
+def _cv_dtype(cv: ConeVec):
+    return cv.l.dtype if cv.l.size else (
+        cv.s[0].dtype if cv.s else cv.q[0].dtype)
+
+
+def maxstep_from(base: ConeVec, dv: ConeVec) -> jax.Array:
+    """sup {a : base + a*dv in K} for a GENERAL interior scaled-space point.
+
+    The centered iterate xc = v + dxc of the initial centering step
+    (wregion.m:56-58) is not diagonal in the PSD buckets, so the reference
+    computes maxstep via psdfactor(xc) + psdinvscale + minpsdeig
+    (maxstep.m:62-66).  Same here, batched: per bucket one (eps-guarded)
+    Cholesky base = Lc Lc', then min-eig of Lc^{-1} dv Lc^{-T} at the
+    coarse line-search sweep budget (the interior backtracking probe in
+    ipm.make_step guards against over-estimates).
+    """
+    dt = _cv_dtype(base)
+    big = jnp.asarray(jnp.inf, dt)
+    steps = [jd.l_maxstep(base.l, dv.l)]
+    for bq, dq in zip(base.q, dv.q):
+        steps.append(jnp.min(jd.q_maxstep(bq, dq), initial=big))
+    steps += _psd_steps(_maxstep_psd_probes(base, dv), dt,
+                        sweeps=_coarse(base))
     return jnp.min(jnp.stack(steps)) if steps else big
+
+
+def maxstep_pair(bx: ConeVec, dvx: ConeVec, bz: ConeVec, dvz: ConeVec):
+    """(maxstep_from(bx, dvx), maxstep_from(bz, dvz)) with BOTH sides'
+    PSD probes batched into ONE Jacobi call — the eigensolver's cost on
+    TPU is its sequential rotation rounds, so the batch is nearly free
+    while two separate calls serialize (measured: batch 20 costs ~1.2x
+    batch 2 at n=176)."""
+    dt = _cv_dtype(bx)
+    big = jnp.asarray(jnp.inf, dt)
+    steps_x = [jd.l_maxstep(bx.l, dvx.l)]
+    for bq, dq in zip(bx.q, dvx.q):
+        steps_x.append(jnp.min(jd.q_maxstep(bq, dq), initial=big))
+    steps_z = [jd.l_maxstep(bz.l, dvz.l)]
+    for bq, dq in zip(bz.q, dvz.q):
+        steps_z.append(jnp.min(jd.q_maxstep(bq, dq), initial=big))
+    mx = _maxstep_psd_probes(bx, dvx)
+    mz = _maxstep_psd_probes(bz, dvz)
+    both = _psd_steps(mx + mz, dt, sweeps=_coarse(bx))
+    steps_x += both[:len(mx)]
+    steps_z += both[len(mx):]
+    return (jnp.min(jnp.stack(steps_x)) if steps_x else big,
+            jnp.min(jnp.stack(steps_z)) if steps_z else big)
 
 
 def maxstep_scaled(S: Scaling, dv: ConeVec) -> jax.Array:
@@ -276,7 +331,13 @@ def maxstep_scaled(S: Scaling, dv: ConeVec) -> jax.Array:
     for sig, ds in zip(S.s_lam, dv.s):
         isq = 1.0 / jnp.sqrt(sig)
         m_list.append(ds * isq[..., :, None] * isq[..., None, :])
-    for sig, lmin_all in zip(S.s_lam, eigvalsh_multi(m_list) if m_list else []):
+    from .lax_eigh import coarse_sweeps_for
+
+    cs = (coarse_sweeps_for(max(m.shape[-1] for m in m_list),
+                            m_list[0].dtype) if m_list else None)
+    for sig, lmin_all in zip(S.s_lam,
+                             eigvalsh_multi(m_list, sweeps=cs)
+                             if m_list else []):
         lmin = jnp.min(lmin_all, axis=-1)
         st = jnp.where(
             lmin < 0,

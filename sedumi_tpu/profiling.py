@@ -28,6 +28,20 @@ from .opA import CooAOp, DenseAOp
 from .schur import build_schur
 
 
+
+def _fence(out):
+    """Force completion of the dispatched computation.
+
+    jax.block_until_ready does NOT reliably wait on the axon tunnel
+    backend (measured: 0.12 ms for a 2e12-flop Schur formation => the
+    call only timed the dispatch).  Fetching any output value requires
+    the whole executable to finish, so fetch the first leaf.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf)
+    return out
+
+
 def schur_flops(aop) -> float:
     """Analytic flop count of one augmented-Schur formation M=[A;c']H[A;c']'.
 
@@ -80,10 +94,10 @@ def profile_iteration(aop, state, reg) -> dict[str, Any]:
     factor = jax.jit(lambda M, r: chol_factor(M[:m, :m], r))
 
     def timed(fn, *args, repeats: int = 3):
-        out = jax.block_until_ready(fn(*args))       # compile + warm
+        out = _fence(fn(*args))                      # compile + warm
         t0 = time.perf_counter()
         for _ in range(repeats):
-            out = jax.block_until_ready(fn(*args))
+            out = _fence(fn(*args))
         return out, (time.perf_counter() - t0) / repeats * 1e3
 
     S, t_scal = timed(scaling, state.x, state.z)
@@ -103,6 +117,54 @@ def profile_iteration(aop, state, reg) -> dict[str, Any]:
     }
 
 
+def bench_large_block(d: int = 1024, k: int = 1, m: int = 512,
+                      dtype=jnp.float32, repeats: int = 3) -> dict[str, Any]:
+    """Synthetic large-block Schur + Cholesky throughput probe.
+
+    The six reference examples max out at d=544 with tiny m, where every
+    kernel is latency-bound; this measures the MXU-bound regime the
+    framework is designed for (BASELINE.md "Schur+Chol at speed-of-light
+    per chip"): one congruence+BB' Schur formation over a [m+1, k, d, d]
+    constraint bucket and one dense Cholesky of the m x m result.
+    Returns achieved TFLOP/s against analytic flop counts.
+    """
+    import numpy as np
+
+    from .schur import _psd_contrib
+
+    rng = np.random.default_rng(0)
+    mp1 = m + 1
+    as_ = jnp.asarray(rng.normal(size=(mp1, k * d * d)).astype(dtype))
+    r = jnp.asarray(
+        (np.eye(d)[None] + 0.1 * rng.normal(size=(k, d, d))).astype(dtype))
+
+    schur = jax.jit(lambda a, rr: _psd_contrib(a, k, d, rr))
+    factor = jax.jit(
+        lambda M: chol_factor(M[:m, :m]
+                              + jnp.asarray(np.float64(m), dtype)
+                              * jnp.eye(m, dtype=dtype),
+                              jnp.zeros((), dtype)))
+
+    def timed(fn, *args):
+        out = _fence(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = _fence(fn(*args))
+        return out, (time.perf_counter() - t0) / repeats * 1e3
+
+    M, t_schur = timed(schur, as_, r)
+    _, t_chol = timed(factor, M)
+    fl_schur = 4.0 * mp1 * k * float(d) ** 3 + 2.0 * mp1 * mp1 * k * d * d
+    fl_chol = chol_flops(m)
+    return {
+        "d": d, "k": k, "m": m, "dtype": str(jnp.dtype(dtype)),
+        "schur_ms": round(t_schur, 3),
+        "chol_ms": round(t_chol, 3),
+        "schur_tflops": round(fl_schur / (t_schur * 1e-3) / 1e12, 2),
+        "chol_tflops": round(fl_chol / (t_chol * 1e-3) / 1e12, 2),
+    }
+
+
 def profile_sparse_iteration(engine, aop, state, reg) -> dict[str, Any]:
     """Per-phase device timing for the tile-supernodal sparse engine
     (sparse_engine.TileSchurEngine): NT scaling, prepare (sparse ADA
@@ -115,10 +177,10 @@ def profile_sparse_iteration(engine, aop, state, reg) -> dict[str, Any]:
     scaling = jax.jit(lambda x, z: _nt.compute_scaling(x, z))
 
     def timed(fn, *args, repeats: int = 3):
-        out = jax.block_until_ready(fn(*args))
+        out = _fence(fn(*args))
         t0 = time.perf_counter()
         for _ in range(repeats):
-            out = jax.block_until_ready(fn(*args))
+            out = _fence(fn(*args))
         return out, (time.perf_counter() - t0) / repeats * 1e3
 
     S, t_scal = timed(scaling, state.x, state.z)

@@ -46,7 +46,13 @@ def prod_spectrum(x: ConeVec, z: ConeVec) -> jax.Array:
     for xs, zs in zip(x.s, z.s):
         u = jnp.linalg.cholesky(xs)
         m_list.append(jnp.einsum("...ba,...bc,...cd->...ad", u, zs, u))
-    for w_ in (eigvalsh_multi(m_list) if m_list else []):
+    # coarse sweep budget: prod_spectrum feeds the widelen/iswnbr
+    # neighborhood tests (delta vs beta=0.5) — ~3 digits suffice
+    from .lax_eigh import coarse_sweeps_for
+
+    cs = (coarse_sweeps_for(max(m.shape[-1] for m in m_list),
+                            m_list[0].dtype) if m_list else None)
+    for w_ in (eigvalsh_multi(m_list, sweeps=cs) if m_list else []):
         parts.append(w_.reshape(-1))
     return jnp.concatenate([p.reshape(-1) for p in parts]) if parts else jnp.zeros(0)
 
