@@ -112,11 +112,16 @@ class Bucket:
     """A group of same-dimension cone blocks, batched on device.
 
     ``block_ids`` are indices into the layout's q (or s) tuple, in layout
-    order; ``dim`` is the common block dimension.
+    order; ``dim`` is the common block dimension.  ``herm`` marks buckets
+    of real-EMBEDDED complex-Hermitian blocks (dim = 2*d of the complex
+    block): grouped separately so the NT scaling can run the native
+    complex eigensolver on them (lax_eigh.jacobi_eigh_herm — half the
+    rotation rounds of the embedding; reference psdeig.m:64-67).
     """
 
     dim: int
     block_ids: tuple[int, ...]
+    herm: bool = False
 
     @property
     def count(self) -> int:
@@ -156,11 +161,14 @@ def pack_plan(dims: Sequence[int], cap: int) -> list[list[int]]:
     return groups
 
 
-def _make_buckets(dims: Sequence[int]) -> tuple[Bucket, ...]:
-    groups: dict[int, list[int]] = {}
+def _make_buckets(dims: Sequence[int], herm: Sequence[bool] | None = None
+                  ) -> tuple[Bucket, ...]:
+    groups: dict[tuple[int, bool], list[int]] = {}
     for i, d in enumerate(dims):
-        groups.setdefault(d, []).append(i)
-    return tuple(Bucket(dim=d, block_ids=tuple(ids)) for d, ids in sorted(groups.items()))
+        h = bool(herm[i]) if herm else False
+        groups.setdefault((d, h), []).append(i)
+    return tuple(Bucket(dim=d, block_ids=tuple(ids), herm=h)
+                 for (d, h), ids in sorted(groups.items()))
 
 
 @dataclass(frozen=True)
@@ -175,12 +183,16 @@ class Layout:
     l: int
     q: tuple[int, ...]
     s: tuple[int, ...]
+    s_herm: tuple[bool, ...] = ()   # per-s-block: real-embedded Hermitian
     q_buckets: tuple[Bucket, ...] = field(init=False)
     s_buckets: tuple[Bucket, ...] = field(init=False)
 
     def __post_init__(self) -> None:
+        sh = tuple(self.s_herm) if len(self.s_herm) == len(self.s) \
+            else (False,) * len(self.s)
+        object.__setattr__(self, "s_herm", sh)
         object.__setattr__(self, "q_buckets", _make_buckets(self.q))
-        object.__setattr__(self, "s_buckets", _make_buckets(self.s))
+        object.__setattr__(self, "s_buckets", _make_buckets(self.s, sh))
 
     # --- flat-vector offsets -------------------------------------------------
     @property

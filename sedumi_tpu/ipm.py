@@ -316,6 +316,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
     idea of loopPcg.m/quadadd.c lifted to the whole IPM step).
     """
     nu = layout.nu
+    herm_flags = tuple(b.herm for b in layout.s_buckets)
     # convergence-grading denominators (sedumi.m:678-681): the reference
     # normalizes feasibility by 1+maxb+1e-3*maxRb (initial-residual scale)
     # — passed by the driver; the plain 1+norm fallback keeps older callers
@@ -407,7 +408,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         mu = (gap + tau * kappa) / (nu + 1.0)
 
         # --- scaling + Schur (compute dtype) -------------------------------
-        S = nt.compute_scaling(lo_safe(x), lo_safe(z))
+        S = nt.compute_scaling(lo_safe(x), lo_safe(z), herm=herm_flags)
         ctx, ahc, chc, fac_ok = engine.prepare(aop_lo, S, lo(reg))
         tau_l, kappa_l = lo(tau), lo(kappa)
         b_l = lo(b)

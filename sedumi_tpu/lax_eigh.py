@@ -183,6 +183,115 @@ def _sweeps_for(n: int, dtype=None) -> int:
     return 12 if f32 else 14
 
 
+@partial(jax.jit, static_argnames=("sweeps", "with_vectors"))
+def _jacobi_herm(A: jax.Array, sweeps: int, with_vectors: bool):
+    """Two-sided Jacobi for batched complex HERMITIAN matrices.
+
+    The native path for K.scomplex blocks (reference: psdeig.m:64-67
+    complex branch): a Hermitian block of order d diagonalizes in d-1
+    rotation rounds per sweep versus 2d-1 for its real embedding — the
+    sequential round count is the TPU latency driver, so the complex path
+    halves the critical path AND the per-round element count.  The
+    rotation generalizes the real half-angle formulas with the pivot's
+    phase u = a_pq/|a_pq| folded into the sine.
+    """
+    n0 = A.shape[-1]
+    batch = A.shape[:-2]
+    n = n0 + (n0 % 2)
+    if n != n0:
+        pad = [(0, 0)] * len(batch) + [(0, 1), (0, 1)]
+        A = jnp.pad(A, pad)
+        A = A.at[..., n0, n0].set(1.0)
+    sched = jnp.asarray(_round_robin_schedule(n))
+    rdt = jnp.float32 if A.dtype == jnp.complex64 else jnp.float64
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), batch + (n, n))
+    ueps = eps_for(rdt)
+
+    def round_body(r, carry):
+        A, V = carry
+        pq = jax.lax.dynamic_index_in_dim(sched, r, 0, keepdims=False)
+        p = pq[:, 0]
+        q = pq[:, 1]
+        app = jnp.real(A[..., p, p])
+        aqq = jnp.real(A[..., q, q])
+        apq = A[..., p, q]
+        mag = jnp.abs(apq)
+        small = mag <= 0.25 * ueps * (jnp.abs(app) + jnp.abs(aqq))
+        u = apq / jnp.where(small, 1.0, mag).astype(A.dtype)  # phase e^{i phi}
+        u = jnp.where(small, jnp.ones_like(u), u)
+        theta = (aqq - app) / (2.0 * jnp.where(small, 1.0, mag))
+        theta_c = jnp.clip(theta, -1.0 / ueps, 1.0 / ueps)
+        t = jnp.sign(theta_c) / (jnp.abs(theta_c)
+                                 + jnp.sqrt(1.0 + theta_c * theta_c))
+        t = jnp.where(theta == 0.0, 1.0, t)
+        c = (1.0 / jnp.sqrt(1.0 + t * t))
+        s = t * c
+        c = jnp.where(small, 1.0, c).astype(A.dtype)
+        su = jnp.where(small, 0.0, s).astype(A.dtype) * u   # s * e^{i phi}
+        # unitary G: G[pp]=c, G[qq]=c, G[pq]=s*u, G[qp]=-s*conj(u);
+        # A <- G^H A G annihilates a_pq (verified against LAPACK in tests)
+        # A <- G^H A G with G = [[c, s*u], [-s*conj(u), c]] in the (p,q)
+        # plane: rows get G^H from the left, columns G from the right
+        cb = c[..., :, None]
+        sb = su[..., :, None]
+        rows_p = A[..., p, :]
+        rows_q = A[..., q, :]
+        new_p = cb * rows_p - sb * rows_q
+        new_q = jnp.conj(sb) * rows_p + cb * rows_q
+        A = A.at[..., p, :].set(new_p)
+        A = A.at[..., q, :].set(new_q)
+        cT = c[..., None, :]
+        sT = su[..., None, :]
+        cols_p = A[..., :, p]
+        cols_q = A[..., :, q]
+        A = A.at[..., :, p].set(cT * cols_p - jnp.conj(sT) * cols_q)
+        A = A.at[..., :, q].set(sT * cols_p + cT * cols_q)
+        if with_vectors:
+            vp = V[..., :, p]
+            vq = V[..., :, q]
+            V = V.at[..., :, p].set(cT * vp - jnp.conj(sT) * vq)
+            V = V.at[..., :, q].set(sT * vp + cT * vq)
+        return A, V
+
+    idx_n = jnp.arange(n)
+
+    def _off(Acur):
+        d = jnp.real(jnp.diagonal(Acur, axis1=-2, axis2=-1))
+        dn = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        Ao = Acur.at[..., idx_n, idx_n].set(0.0)
+        off = jnp.sqrt(jnp.sum(jnp.abs(Ao) ** 2, axis=(-2, -1)))
+        return jnp.max(off / jnp.maximum(dn, jnp.asarray(1e-30, dn.dtype)))
+
+    thresh = 8.0 * eps_for(rdt) * float(np.sqrt(n))
+
+    def sweep_cond(carry):
+        A_, V_, i = carry
+        return jnp.logical_and(i < sweeps,
+                               jnp.logical_or(i < 2, _off(A_) > thresh))
+
+    def sweep_body(carry):
+        A_, V_, i = carry
+        A_, V_ = jax.lax.fori_loop(0, n - 1, round_body, (A_, V_))
+        return A_, V_, i + 1
+
+    A, V, _ = jax.lax.while_loop(sweep_cond, sweep_body,
+                                 (A, V, jnp.asarray(0, jnp.int32)))
+    w = jnp.real(jnp.diagonal(A, axis1=-2, axis2=-1))
+    w = w[..., :n0] if n != n0 else w
+    if with_vectors:
+        V = V[..., :n0, :n0] if n != n0 else V
+    return w, V if with_vectors else None
+
+
+def jacobi_eigh_herm(A: jax.Array, sweeps: int | None = None):
+    """(w, V) for batched complex Hermitian A; w real, V unitary,
+    A = V diag(w) V^H.  Eigenvalue order unspecified."""
+    n = A.shape[-1]
+    rdt = jnp.float32 if A.dtype == jnp.complex64 else jnp.float64
+    w, V = _jacobi_herm(A, sweeps or _sweeps_for(n, rdt), True)
+    return w, V
+
+
 def coarse_sweeps_for(n: int, dtype=None) -> int:
     """Line-search-grade sweep budget (~1e-3 relative spectra).
 

@@ -113,6 +113,27 @@ def eigh_multi(mats, sweeps: int | None = None):
     return out
 
 
+def eigh_herm_multi(mats, sweeps: int | None = None):
+    """Batched eigh for LISTS of complex Hermitian [k_i, d_i, d_i] batches
+    in one complex-Jacobi call (native K.scomplex path; half the rotation
+    rounds of the real embedding).  LAPACK path on CPU."""
+    from .lax_eigh import jacobi_eigh_herm
+
+    if not _use_jacobi():
+        return [jnp.linalg.eigh(a) for a in mats]
+    if len(mats) <= 1:
+        return [jacobi_eigh_herm(a, sweeps=sweeps) for a in mats]
+    A, _ = _pad_stack(mats)
+    w, V = jacobi_eigh_herm(A, sweeps=sweeps)
+    out = []
+    off = 0
+    for a in mats:
+        k, d = a.shape[0], a.shape[-1]
+        out.append((w[off:off + k, :d], V[off:off + k, :d, :d]))
+        off += k
+    return out
+
+
 def eigvalsh_multi(mats, sweeps: int | None = None):
     """eigh_multi without vectors; returns a list of [k_i, d_i] batches."""
     if len(mats) <= 1 or not _use_jacobi():

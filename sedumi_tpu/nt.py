@@ -54,7 +54,8 @@ class Scaling(NamedTuple):
     s_lam: tuple[jax.Array, ...]        # [n,d] diagonal scaled point
 
 
-def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
+def compute_scaling(x: ConeVec, z: ConeVec,
+                    herm: tuple[bool, ...] | None = None) -> Scaling:
     """NT scaling, total on NUMERICALLY interior points: an endgame iterate
     can carry spectral values at the roundoff floor of its large ones
     (lam_min ~ eps * lam_max), where a raw Cholesky/sqrt NaNs.  Every
@@ -101,12 +102,49 @@ def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
     # --- PSD ---
     # bucket eighs run as ONE padded batched Jacobi call (eigh_multi): the
     # kernel is latency-bound in its sequential rotation loop, so b buckets
-    # cost max(rounds), not sum(rounds)
-    from .linalg_ops import eigh_multi
+    # cost max(rounds), not sum(rounds).  Buckets flagged `herm` hold
+    # rho-EMBEDDED complex-Hermitian blocks [[Re,-Im],[Im,Re]] (order 2d):
+    # the whole factorization chain runs natively complex at order d —
+    # half the sequential rotation rounds and 1/2 the congruence flops of
+    # the embedding (reference complex paths: psdeig.m:64-67,
+    # spscale.c:249-332) — then re-embeds R, Rinv, and the (doubled)
+    # spectrum, since rho is a *-homomorphism: rho(A)rho(B)=rho(AB).
+    from .linalg_ops import eigh_herm_multi, eigh_multi
 
-    s_r, s_rinv, s_lam = [], [], []
-    lz_list, m_list = [], []
-    for xs, zs in zip(x.s, z.s):
+    herm_t = tuple(herm) if herm is not None else (False,) * len(x.s)
+
+    def _to_c(e):
+        d = e.shape[-1] // 2
+        re = 0.5 * (e[..., :d, :d] + e[..., d:, d:])
+        im = 0.5 * (e[..., d:, :d] - e[..., :d, d:])
+        h = re + 1j * im
+        return 0.5 * (h + jnp.conj(jnp.swapaxes(h, -1, -2)))
+
+    def _rho_j(Mc):
+        re, im = jnp.real(Mc), jnp.imag(Mc)
+        top = jnp.concatenate([re, -im], axis=-1)
+        bot = jnp.concatenate([im, re], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    s_r, s_rinv, s_lam = [None] * len(x.s), [None] * len(x.s), \
+        [None] * len(x.s)
+    lz_list, m_list, ids_r = [], [], []
+    lzc_list, mc_list, ids_h = [], [], []
+    for bi, (xs, zs) in enumerate(zip(x.s, z.s)):
+        if herm_t[bi]:
+            xc, zc = _to_c(xs), _to_c(zs)
+            d = zc.shape[-1]
+            idx = jnp.arange(d)
+            mxz = jnp.max(jnp.abs(jnp.real(
+                jnp.diagonal(zc, axis1=-2, axis2=-1))), axis=-1)
+            zc_g = zc.at[..., idx, idx].add(4 * eps * mxz[..., None])
+            lzc = jnp.linalg.cholesky(zc_g)
+            mc = jnp.einsum("...ba,...bc,...cd->...ad",
+                            jnp.conj(lzc), xc, lzc)
+            lzc_list.append(lzc)
+            mc_list.append(mc)
+            ids_h.append(bi)
+            continue
         d = zs.shape[-1]
         idx = jnp.arange(d)
         mxz = jnp.max(jnp.abs(jnp.diagonal(zs, axis1=-2, axis2=-1)), axis=-1)
@@ -115,8 +153,9 @@ def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
         m = jnp.einsum("...ba,...bc,...cd->...ad", lz, xs, lz)
         lz_list.append(lz)
         m_list.append(m)
+        ids_r.append(bi)
     eigs = eigh_multi(m_list) if m_list else []
-    for lz, (sig2, qmat) in zip(lz_list, eigs):
+    for bi, lz, (sig2, qmat) in zip(ids_r, lz_list, eigs):
         sig2 = jnp.maximum(
             sig2,
             (4 * eps) ** 2 * jnp.max(sig2, axis=-1, keepdims=True)
@@ -130,9 +169,27 @@ def compute_scaling(x: ConeVec, z: ConeVec) -> Scaling:
             jnp.swapaxes(lz, -1, -2), qs, lower=False
         )
         rinv = (jnp.swapaxes(qmat, -1, -2) / shalf[..., :, None]) @ jnp.swapaxes(lz, -1, -2)
-        s_r.append(r)
-        s_rinv.append(rinv)
-        s_lam.append(sig)
+        s_r[bi] = r
+        s_rinv[bi] = rinv
+        s_lam[bi] = sig
+    eigs_h = eigh_herm_multi(mc_list) if mc_list else []
+    for bi, lzc, (sig2, qc) in zip(ids_h, lzc_list, eigs_h):
+        sig2 = jnp.maximum(
+            sig2,
+            (4 * eps) ** 2 * jnp.max(sig2, axis=-1, keepdims=True)
+            + jnp.finfo(sig2.dtype).tiny,
+        )
+        sig = jnp.sqrt(sig2)
+        shalf = jnp.sqrt(sig)
+        qs = qc * shalf[..., None, :].astype(qc.dtype)
+        rc = jax.scipy.linalg.solve_triangular(
+            jnp.conj(jnp.swapaxes(lzc, -1, -2)), qs, lower=False)
+        rinvc = (jnp.conj(jnp.swapaxes(qc, -1, -2))
+                 / shalf[..., :, None].astype(qc.dtype)) \
+            @ jnp.conj(jnp.swapaxes(lzc, -1, -2))
+        s_r[bi] = _rho_j(rc)
+        s_rinv[bi] = _rho_j(rinvc)
+        s_lam[bi] = jnp.concatenate([sig, sig], axis=-1)
 
     return Scaling(
         d_l=d_l, lam_l=lam_l,

@@ -304,6 +304,14 @@ def pretransfo(A, b, c, K: ConeSpec, pars: Pars) -> Problem:
     diag_set = set(diag_blocks)
     diag_dims = [K1.s[i - 1] for i in diag_blocks]
     s_keep = [d for bi, d in enumerate(K1.s, start=1) if bi not in diag_set]
+    # per-kept-block Hermitian-embedded flag (K.scomplex order survives
+    # _realify verbatim); embedded blocks must not be packed with real
+    # ones nor padded — the native complex eigensolver path needs each
+    # block to be EXACTLY the rho-embedding of one complex matrix
+    herm_set = set(K.scomplex)
+    herm1 = [bi in herm_set for bi in range(1, len(K.s) + 1)]
+    s_keep_herm = [h for bi, h in enumerate(herm1, start=1)
+                   if bi not in diag_set]
 
     l_int = l1 + sum(diag_dims) + (2 * f1 if split_free and f1 else 0)
     q_int = list(K1.q) + list(K1.r)
@@ -313,10 +321,17 @@ def pretransfo(A, b, c, K: ConeSpec, pars: Pars) -> Problem:
     # --- PSD superblock packing (TPU tiling; see cones.pack_plan) ---
     # groups[g] = list of kept-block indices merged into superblock g;
     # sub_place[k] = (group, offset inside the superblock) per kept block.
-    if pars.pack_dim and len(s_keep) > 1:
-        groups = pack_plan(s_keep, int(pars.pack_dim))
+    real_ids = [i for i in range(len(s_keep)) if not s_keep_herm[i]]
+    herm_ids = [i for i in range(len(s_keep)) if s_keep_herm[i]]
+    if pars.pack_dim and len(real_ids) > 1:
+        groups_r = pack_plan([s_keep[i] for i in real_ids],
+                             int(pars.pack_dim))
+        groups = [[real_ids[j] for j in g] for g in groups_r]
     else:
-        groups = [[i] for i in range(len(s_keep))]
+        groups = [[i] for i in real_ids]
+    n_real_groups = len(groups)
+    groups = groups + [[i] for i in herm_ids]
+    s_group_herm = [False] * n_real_groups + [True] * len(herm_ids)
     s_content = [sum(s_keep[i] for i in g) for g in groups]
     # Barrier padding: round superblock orders up to a multiple of
     # pars.pack_round so distinct superblocks share one bucket (one compiled
@@ -327,7 +342,9 @@ def pretransfo(A, b, c, K: ConeSpec, pars: Pars) -> Problem:
     # reformulation in the limit and central paths coincide off the pad.
     rnd = int(pars.pack_round) if pars.pack_dim and len(s_keep) > 1 else 0
     if rnd:
-        s_packed = [max(-(-D // rnd) * rnd, D) for D in s_content]
+        # Hermitian-embedded groups stay unpadded (rho structure)
+        s_packed = [D if h else max(-(-D // rnd) * rnd, D)
+                    for D, h in zip(s_content, s_group_herm)]
     else:
         s_packed = list(s_content)
     sub_place: dict[int, tuple[int, int]] = {}
@@ -342,7 +359,8 @@ def pretransfo(A, b, c, K: ConeSpec, pars: Pars) -> Problem:
             f"superblock(s) of orders {s_packed} (content {s_content})"
         )
 
-    layout = Layout(l=l_int, q=tuple(q_int), s=tuple(s_packed))
+    layout = Layout(l=l_int, q=tuple(q_int), s=tuple(s_packed),
+                    s_herm=tuple(s_group_herm))
     N_int = layout.N
 
     rows: list[int] = []
