@@ -125,7 +125,8 @@ def main() -> None:
             _RESULT["vs_baseline"] = round(passes / max(attempted, 1), 4)
             _progress(name, {"rel": float(f"{rel:.3e}"), "iter": info["iter"],
                              "numerr": info["numerr"],
-                             "cold_s": round(wall_cold, 1), "pass": bool(ok)})
+                             "cold_s": round(wall_cold, 1), "pass": bool(ok),
+                             "phases": info.get("phases", {})})
             if name == timed_name:
                 t0 = time.time()
                 _, _, info2 = sedumi(ex.At, ex.b, ex.c, ex.K,

@@ -584,14 +584,6 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 [2.0 * sig * (v_ - sig)
                  for sig, v_ in zip(S.s_lam, vt_s)])
             rtk_c = 2.0 * vtk * (vt_tk - vtk)
-            dc = direction(rc_c, rtk_c, r_scale=0.0)
-            dxc_t, dyc_t, dzc_t, dtauc_t, dkappac_t = dc
-            dxs_c = nt.scale_x_to_v(S, lo(dxc_t))
-            dzs_c = nt.scale_z_to_v(S, lo(dzc_t))
-            xs_ct = cv_add(lam_cv, dxs_c)
-            zs_ct = cv_add(lam_cv, dzs_c)
-            tau_ct = tau_l + lo(dtauc_t)
-            kappa_ct = kappa_l + lo(dkappac_t)
 
             def _strict_interior(cv: ConeVec):
                 oks = []
@@ -604,11 +596,35 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                     oks.append(jnp.all(jnp.isfinite(ch)))
                 return jnp.all(jnp.stack(oks)) if oks else jnp.asarray(True)
 
-            fin_c = jnp.all(jnp.stack(
-                [jnp.all(jnp.isfinite(leaf)) for leaf in
-                 jax.tree_util.tree_leaves(dc)]))
-            gate = (ok0 & fin_c & (tau_ct > 0) & (kappa_ct > 0)
-                    & _strict_interior(xs_ct) & _strict_interior(zs_ct))
+            # the centering solve runs UNDER lax.cond: roughly half the
+            # iterations arrive with delta0 = 0 (inside the wide region),
+            # where vTAR = lam makes the solve a no-op — skipping it at
+            # runtime saves a Schur solve + the positivity probes
+            def _do_center(_):
+                dc = direction(rc_c, rtk_c, r_scale=0.0)
+                dxc_t, dyc_t, dzc_t, dtauc_t, dkappac_t = dc
+                dxs_c = nt.scale_x_to_v(S, lo(dxc_t))
+                dzs_c = nt.scale_z_to_v(S, lo(dzc_t))
+                xs_ct = cv_add(lam_cv, dxs_c)
+                zs_ct = cv_add(lam_cv, dzs_c)
+                tau_ct = tau_l + lo(dtauc_t)
+                kappa_ct = kappa_l + lo(dkappac_t)
+                fin_c = jnp.all(jnp.stack(
+                    [jnp.all(jnp.isfinite(leaf)) for leaf in
+                     jax.tree_util.tree_leaves(dc)]))
+                g = (fin_c & (tau_ct > 0) & (kappa_ct > 0)
+                     & _strict_interior(xs_ct) & _strict_interior(zs_ct))
+                return (dc, xs_ct, zs_ct, tau_ct, kappa_ct, g)
+
+            def _no_center(_):
+                dc0 = (zero_hi, jnp.zeros((m,), dtype), zero_hi,
+                       jnp.zeros((), dtype), jnp.zeros((), dtype))
+                return (dc0, lam_cv, lam_cv, tau_l, kappa_l,
+                        jnp.asarray(False))
+
+            (dc, xs_ct, zs_ct, tau_ct, kappa_ct, gate) = jax.lax.cond(
+                ok0 & (delta0 > 1e-4), _do_center, _no_center, None)
+            dxc_t, dyc_t, dzc_t, dtauc_t, dkappac_t = dc
 
             def gt(a, b):
                 return jax.tree_util.tree_map(
@@ -775,7 +791,8 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         # projection as the complementarity target (residual rows zero),
         # REUSING the factorization, and is kept only if it lengthens the
         # boundary step.
-        for _ in range(max(0, int(pars.mcc)) if not hybrid else 0):
+        def _mcc_round(carry):
+            dx, dy, dz, dtau, dkappa, dxs, dzs, amax_p, amax_d = carry
             th = jnp.minimum(
                 1.0, 1.5 * gamma * lo(jnp.minimum(amax_p, amax_d)))
             xs_t = jax.tree_util.tree_map(
@@ -793,9 +810,13 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 ev = jd.q_eig(wq)
                 rcg_q.append(jd.q_remap(wq, jnp.clip(ev, blo_, bhi_) - ev))
             rcg_s = []
+            from .lax_eigh import coarse_sweeps_for
             from .linalg_ops import eigh_multi as _eigh_multi
 
-            for ww, V in (_eigh_multi(list(w_t.s)) if w_t.s else []):
+            cs_g = (coarse_sweeps_for(max(s_.shape[-1] for s_ in w_t.s),
+                                      w_t.s[0].dtype) if w_t.s else None)
+            for ww, V in (_eigh_multi(list(w_t.s), sweeps=cs_g)
+                          if w_t.s else []):
                 dw = jnp.clip(ww, blo_, bhi_) - ww
                 rcg_s.append(jnp.einsum(
                     "...ik,...k,...jk->...ij", V, dw, V))
@@ -827,13 +848,24 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 return jax.tree_util.tree_map(
                     lambda u, v: jnp.where(better, u, v), a2, a)
 
-            dx, dz = _pk(dx2, dx), _pk(dz2, dz)
-            dy = jnp.where(better, dy2, dy)
-            dtau = jnp.where(better, dtau2, dtau)
-            dkappa = jnp.where(better, dkappa2, dkappa)
-            dxs, dzs = _pk(dxs2, dxs), _pk(dzs2, dzs)
-            amax_p = jnp.where(better, amax_p2, amax_p)
-            amax_d = jnp.where(better, amax_d2, amax_d)
+            return (_pk(dx2, dx), jnp.where(better, dy2, dy),
+                    _pk(dz2, dz), jnp.where(better, dtau2, dtau),
+                    jnp.where(better, dkappa2, dkappa),
+                    _pk(dxs2, dxs), _pk(dzs2, dzs),
+                    jnp.where(better, amax_p2, amax_p),
+                    jnp.where(better, amax_d2, amax_d))
+
+        mcc_carry = (dx, dy, dz, dtau, dkappa, dxs, dzs,
+                     jnp.asarray(amax_p), jnp.asarray(amax_d))
+        for _ in range(max(0, int(pars.mcc)) if not hybrid else 0):
+            # runtime gate (lax.cond): the corrector targets SHORT steps —
+            # when the boundary step is already >= 0.6 the round is skipped
+            # on device, saving its solve + eigh + maxstep on the easy
+            # iterations (most of arch0's f32 phase)
+            need = lo(jnp.minimum(mcc_carry[7], mcc_carry[8])) < 0.8
+            mcc_carry = jax.lax.cond(need, _mcc_round, lambda c: c,
+                                     mcc_carry)
+        (dx, dy, dz, dtau, dkappa, dxs, dzs, amax_p, amax_d) = mcc_carry
         if pars.mcc and not hybrid:
             dax_full = aop.apply(dx)   # refresh for the stepdif model
 
@@ -941,18 +973,30 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 # the candidate iterate stays in the wide region: recompute
                 # the product spectra at (tp, td) and run the iswnbr
                 # proximity test; reject back to the equal step otherwise.
-                tp_l, td_l = lo(tp), lo(td)
-                xs_try = jax.tree_util.tree_map(
-                    lambda a, d_: a + tp_l * d_, xs_b, dxs)
-                zs_try = jax.tree_util.tree_map(
-                    lambda a, d_: a + td_l * d_, zs_b, dzs)
-                wspec = wr.prod_spectrum(xs_try, zs_try)
-                wtk = lo((tau_b + tp * dtau) * (kappa_b + td * dkappa))
-                dl, _, _ = wr.iswnbr(
-                    jnp.concatenate([wspec, wtk[None]]), pars.theta)
-                ok_dif = dl <= pars.beta
-                tp = jnp.where(ok_dif, tp, alpha)
-                td = jnp.where(ok_dif, td, alpha)
+                # Under lax.cond: the spectral re-test only runs when the
+                # grid actually proposed a differentiated pair (clear_win
+                # and, in adaptive mode, sd_on) — on optimal runs that is
+                # almost never, and the re-test is a full batched
+                # cholesky+eigh otherwise wasted every iteration.
+                def _do_trydif(_):
+                    tp_l, td_l = lo(tp), lo(td)
+                    xs_try = jax.tree_util.tree_map(
+                        lambda a, d_: a + tp_l * d_, xs_b, dxs)
+                    zs_try = jax.tree_util.tree_map(
+                        lambda a, d_: a + td_l * d_, zs_b, dzs)
+                    wspec = wr.prod_spectrum(xs_try, zs_try)
+                    wtk = lo((tau_b + tp * dtau) * (kappa_b + td * dkappa))
+                    dl, _, _ = wr.iswnbr(
+                        jnp.concatenate([wspec, wtk[None]]), pars.theta)
+                    ok_dif = dl <= pars.beta
+                    return (jnp.where(ok_dif, tp, alpha),
+                            jnp.where(ok_dif, td, alpha))
+
+                differentiated = clear_win if pars.stepdif != 2 \
+                    else jnp.logical_and(clear_win, sd_on)
+                tp, td = jax.lax.cond(
+                    differentiated, _do_trydif,
+                    lambda _: (alpha, alpha), None)
             if pars.stepdif == 2:
                 # adaptive mode (sedumi.m:434-438): differentiation stays
                 # OFF until the host driver turns it on (iter > 20, or

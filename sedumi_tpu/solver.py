@@ -773,15 +773,16 @@ def solve_internal(
             state = prev_state   # the state the converged record describes
             break
         # -- plateau: solves at their accuracy floor, no further progress
-        # (best-iterate fallback, loopPcg.m:126-146 analog).  Patience 12:
+        # (best-iterate fallback, loopPcg.m:126-146 analog).  Patience 18:
         # the endgame ratchets err_p and gap ALTERNATELY with many
         # micro-improvement iterations in between, and reaching this stop
         # implies best_worst > eps (the convergence break fires first) —
         # a handful of extra ~1 s host iterations regularly buys the last
-        # fraction of the 1e-6 objective-parity margin (trto3 sits at
-        # 9.0e-7 with patience 6; the in-bench variance once produced
-        # 2.96e-6 under identical code). --
-        if cur != "f32" and since_best >= 12 and best_worst < 1e-5:
+        # fraction of the 1e-6 objective-parity margin (trto3 sat at
+        # 9.0e-7 with patience 6 and the in-bench variance once produced
+        # 2.96e-6 under identical code; 12 -> 18 in round 4 after a 9.4e-7
+        # TPU margin). --
+        if cur != "f32" and since_best >= 18 and best_worst < 1e-5:
             stop = 1 if best_worst <= pars.eps else -1
             break
         # hard plateau: a long stretch without >=0.05% improvement (the
@@ -1079,6 +1080,17 @@ def sedumi(
     if res.profile is not None:
         info["profile"] = res.profile
     info["lin_engine"] = res.engine
+    # per-phase summary (docs/PRECISION.md ladder evidence): iterations and
+    # wall seconds spent in each precision phase, in execution order
+    phases: dict[str, dict] = {}
+    for rec in res.iterlog:
+        ph = rec.get("phase")
+        if ph is None:
+            continue
+        d = phases.setdefault(ph, {"iters": 0, "wall_s": 0.0})
+        d["iters"] += 1
+        d["wall_s"] = round(d["wall_s"] + rec.get("wall_s", 0.0), 3)
+    info["phases"] = phases
     if res.vplot is not None:
         # the reference renders an interactive v-plot (sedumi.m:752-765);
         # headless TPU hosts get the data in info plus a saved figure
