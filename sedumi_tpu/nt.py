@@ -109,9 +109,20 @@ def compute_scaling(x: ConeVec, z: ConeVec,
     # the embedding (reference complex paths: psdeig.m:64-67,
     # spscale.c:249-332) — then re-embeds R, Rinv, and the (doubled)
     # spectrum, since rho is a *-homomorphism: rho(A)rho(B)=rho(AB).
-    from .linalg_ops import eigh_herm_multi, eigh_multi
+    from .linalg_ops import _use_jacobi, eigh_herm_multi, eigh_multi
 
-    herm_t = tuple(herm) if herm is not None else (False,) * len(x.s)
+    # Native-complex factorization only where the COMPLEX arithmetic is
+    # safe for the tracing target: the LAPACK path (CPU backend or the
+    # host64 phase's impl_override("xla")) handles complex natively; the
+    # TPU's x64-rewriter pass CRASHES on complex128 inside the Jacobi
+    # while_loop (measured: 'Check failed: abs(f64 gather)' SIGABRT in
+    # the compile helper), so device-traced steps keep the r3-proven
+    # real-embedded path.  The complex kernel remains the CPU-endgame win
+    # (most hard-example iterations run there) and is ready for device
+    # complex support.
+    herm_ok = not _use_jacobi()
+    herm_t = tuple(herm) if (herm is not None and herm_ok) \
+        else (False,) * len(x.s)
 
     def _to_c(e):
         d = e.shape[-1] // 2
