@@ -373,6 +373,16 @@ def solve_internal(
         _log(pars, f"sharded operator over mesh {dict(_mesh.shape)}")
         return a
 
+    from . import linalg_ops as _lops
+
+    def _host_wrap(fn):
+        # force LAPACK eigh when tracing for the host backend (the
+        # default dispatch keys on the DEFAULT backend, which stays axon)
+        def wrapped(*args, **kw):
+            with _lops.impl_override("xla"):
+                return fn(*args, **kw)
+        return wrapped
+
     # --- precision phases (each: step fn, operators, data, device) --------
     bundles: dict[str, dict] = {}
     if mode == "mixed":
@@ -416,14 +426,31 @@ def solve_internal(
         cur = "f32"
     else:
         only = "f64" if mode == "f64" else "f32"
-        aop_only = _maybe_shard(_mk_op(dt_hi))
-        bundles[only] = dict(
-            step=_cached_make_step(layout, pars, normb, normc, cscale,
-                                   dt_hi, _mk_engine(),
-                                   err_dens=(den_p, den_d)),
-            aop=aop_only, aop_lo=None,
-            b=jnp.asarray(b, dt_hi), rs=jnp.asarray(rowscale, dt_hi),
-            dev=None, sdt=dt_hi)
+        if only == "f64" and host_dev is not None:
+            # tiny-problem pure-f64 mode in an accelerator process: run on
+            # the HOST CPU backend (LAPACK f64).  The default device would
+            # execute under f64 EMULATION — measured 18-23 s PER ITERATION
+            # on quantum/nb with the round-4 step (184 s / 300 s solves for
+            # problems the host finishes in seconds).
+            bundles["f64"] = dict(
+                step=_host_wrap(_cached_make_step(
+                    layout, pars, normb, normc, cscale, np.float64,
+                    _mk_engine(host=True), host_impl="xla",
+                    err_dens=(den_p, den_d))),
+                aop=_mk_op(np.float64, device=host_dev), aop_lo=None,
+                b=jax.device_put(np.asarray(b, np.float64), host_dev),
+                rs=jax.device_put(np.asarray(rowscale, np.float64),
+                                  host_dev),
+                dev=host_dev, sdt=np.dtype(np.float64))
+        else:
+            aop_only = _maybe_shard(_mk_op(dt_hi))
+            bundles[only] = dict(
+                step=_cached_make_step(layout, pars, normb, normc, cscale,
+                                       dt_hi, _mk_engine(),
+                                       err_dens=(den_p, den_d)),
+                aop=aop_only, aop_lo=None,
+                b=jnp.asarray(b, dt_hi), rs=jnp.asarray(rowscale, dt_hi),
+                dev=None, sdt=dt_hi)
         phase_order = [only]
         cur = only
 
@@ -464,16 +491,6 @@ def solve_internal(
         if _os.path.exists(pars.checkpoint_path):
             state, it0 = _load_checkpoint(pars.checkpoint_path, layout)
             _log(pars, f"resumed from {pars.checkpoint_path} at iter {it0}")
-    from . import linalg_ops as _lops
-
-    def _host_wrap(fn):
-        # force LAPACK eigh when tracing for the host backend (the
-        # default dispatch keys on the DEFAULT backend, which stays axon)
-        def wrapped(*args, **kw):
-            with _lops.impl_override("xla"):
-                return fn(*args, **kw)
-        return wrapped
-
     host64_possible = host_dev is not None or jax.default_backend() == "cpu"
 
     def _ensure_host64():
