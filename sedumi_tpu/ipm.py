@@ -43,7 +43,7 @@ from . import jordan as jd
 from . import nt
 from . import wregion as wr
 from .chol import chol_factor
-from .pcg import refine_solve_dd
+from .pcg import pcg, refine_solve_dd
 from .cones import Layout
 from .opA import DenseAOp
 from .params import Pars
@@ -174,8 +174,19 @@ class DenseSchurEngine:
         if not self.qprec:
             return refine_solve(lambda v: ADA @ v,
                                 base_solve, rhs, iters=self.refine_iters)
-        return refine_solve_dd(ADA, base_solve, rhs,
-                               iters=self.refine_iters)
+        # Krylov endgame recovery (wrapPcg.m:94-130 role, now on the DENSE
+        # path too): Richardson refinement (x += P(rhs - ADA x)) DIVERGES
+        # once cond(ADA)*eps > 1 (mu ~ 1e-8 in f64; measured as O(1)
+        # direction defects and 100x err_p injections in the arch0/control07
+        # endgames) — while CG with the same factor as preconditioner still
+        # minimizes over the Krylov space and its best-residual fallback
+        # can never return something worse than its start.  x0 is two
+        # dd-refinement passes (exact in the benign regime); PCG then
+        # polishes until stagnation.
+        x0 = refine_solve_dd(ADA, base_solve, rhs, iters=2)
+        res = pcg(lambda v: ADA @ v, base_solve, rhs, x0,
+                  maxiter=12, restol=1e-16)
+        return res.x
 
 
 class StepStats(NamedTuple):
@@ -500,13 +511,13 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                 dz2 = cv_add(dz, cz_)
                 dtau2 = dtau + ct_
                 dkappa2 = dkappa + ck_
-                if hybrid:
-                    _, _, _, nrm_new = defects(dx2, dy2, dz2, dtau2, dkappa2)
-                    keep = nrm_new < nrm_old
-                else:
-                    # full-precision solves: corrections contract
-                    # unconditionally; skip the extra operator applies
-                    keep = jnp.asarray(True)
+                # MONOTONE on every path: refinement against a factor with
+                # cond ~ 1/mu^2 stops contracting once cond*eps > 1 (mu
+                # ~ 1e-8 in f64) and can AMPLIFY instead — observed on the
+                # host64 endgame as sudden 100x err_p injections at healthy
+                # alpha (arch0 iter 46: 1.4e-7 -> 1.6e-5 in one step)
+                _, _, _, nrm_new = defects(dx2, dy2, dz2, dtau2, dkappa2)
+                keep = nrm_new < nrm_old
                 pick = lambda a2, a: jax.tree_util.tree_map(
                     lambda u, v: jnp.where(keep, u, v), a2, a)
                 dx, dz = pick(dx2, dx), pick(dz2, dz)

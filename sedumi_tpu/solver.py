@@ -456,6 +456,47 @@ def solve_internal(
 
     state = ipm.init_state(layout, bundles[cur]["aop"], b, normb_s, normc_s,
                            pars, dtype=jnp.dtype(dt_hi))
+    # --- two-sided residual-balanced start (deviation from sdinit.m:61-64,
+    # whose d0 = sqrt((1+maxb)/(1+maxc)) balances by DATA magnitude only).
+    # The HSD embedding carries the initial error/mu ratios to the terminal
+    # iterate: err ~ (err0/mu0) * mu_floor.  arch0's ||A e|| ~ 1.7e5 makes
+    # the identity start's primal error 3.2e4 vs dual 15 in the reference's
+    # original-unit grading — that 2000x imbalance pinned the f64 endgame
+    # at err_p ~ 5e-6 (numerr=1) while err_d sat at 2e-10.  Scaling x by d0
+    # and z by 1/d0 keeps the start exactly central (lam(x o z) uniform,
+    # x'z and tau*kappa unchanged) while equalizing the two ratios; d0 is
+    # picked by direct scalar minimization of max(err_p0(d0), err_d0(d0))
+    # in the grading units the step itself reports.
+    if m > 0:
+        from .structs import cv_scale as _cvs
+
+        _xf0 = np.asarray(to_flat(layout, state.x), np.float64)
+        _zf0 = np.asarray(to_flat(layout, state.z), np.float64)
+        _ax0 = np.asarray(At.T @ _xf0).ravel() / rowscale   # original units
+        _bo = np.asarray(b).ravel() / rowscale
+        _cs = np.asarray(c_s, np.float64)
+        _grid = np.logspace(-3, 3, 121)
+        # ||g*ax - bo||^2 and ||zf/g - cs||^2 expanded so the scan is O(N)
+        _ep = np.sqrt(np.maximum(
+            _grid ** 2 * float(_ax0 @ _ax0)
+            - 2.0 * _grid * float(_ax0 @ _bo) + float(_bo @ _bo),
+            0.0)) / den_p
+        _ed = np.sqrt(np.maximum(
+            float(_zf0 @ _zf0) / _grid ** 2
+            - 2.0 * float(_zf0 @ _cs) / _grid + float(_cs @ _cs),
+            0.0)) * cscale / den_d
+        _d0 = float(_grid[int(np.argmin(np.maximum(_ep, _ed)))])
+        # only rebalance SEVERE imbalance (>= ~100x, d0 beyond 10): a
+        # mildly imbalanced start is already near-optimal and shifting it
+        # perturbs the whole trajectory for nothing (measured: trto3, with
+        # a 20x imbalance, regressed 6.8e-7 -> 1.5e-4 when rebalanced at
+        # d0=0.22; arch0 at 5400x improved 4.6e-6 -> 1.3e-7 at d0=0.02)
+        if abs(np.log10(_d0)) > 1.0:
+            state = state._replace(x=_cvs(state.x, _d0),
+                                   z=_cvs(state.z, 1.0 / _d0))
+            _log(pars, f"balanced start: d0={_d0:.3g} "
+                       f"(err_p0 {_ep[60]:.2e} -> "
+                       f"{float(np.interp(_d0, _grid, _ep)):.2e})")
     # --- projected near-feasible primal start (new vs the reference's
     # sdinit.m identity start).  The terminal primal accuracy of the HSD
     # embedding is err_p ~ (||rp(0)||/mu(0)) * mu_floor / tau: the initial
@@ -481,6 +522,38 @@ def solve_internal(
                 kappa=jnp.asarray(max(gap0 / max(layout.nu, 1), 1e-8),
                                   dt_hi))
             _log(pars, "projected primal start: ||Ax0 - b tau0|| ~ 0")
+
+    def _measure_resid_inf(st) -> tuple:
+        """Exact inf-norm residuals of an iterate, in ORIGINAL units
+        (host-side; used to seed/re-sync the tracked stopping residuals)."""
+        xf = np.asarray(to_flat(layout, st.x), np.float64)
+        zf = np.asarray(to_flat(layout, st.z), np.float64)
+        yv = np.asarray(st.y, np.float64).ravel()
+        tauv = float(np.asarray(st.tau))
+        rp_v = (np.asarray(At.T @ xf).ravel() - np.asarray(b).ravel() * tauv) \
+            / rowscale
+        rd_v = (np.asarray(At @ yv).ravel() + zf
+                - np.asarray(c_s, np.float64) * tauv) * cscale
+        rp_i = float(np.max(np.abs(rp_v))) if rp_v.size else 0.0
+        rd_i = float(np.max(np.abs(rd_v))) if rd_v.size else 0.0
+        return rp_i, rd_i
+
+    # --- tracked stopping residuals (sedumi.m:545-566 semantics).  The
+    # reference's STOP=1 test is NOT on recomputed residuals: it maintains
+    # R.b/R.c incrementally (exact-arithmetic decay of the self-dual
+    # embedding plus the measured step-equation defects, sedumi.m:479-494)
+    # and stops when precision1 = y0*sum(R.w)/(1+x0) and precision2 =
+    # (y0*sum(R.w)+rgap)/x0 both drop below eps; the final grading then
+    # CLAMPS info.r0 = min(r0, eps) and grades numerr=0 (sedumi.m:678-691)
+    # even where a from-scratch recomputation of ||Ax - b tau|| floors
+    # higher (f64 Schur solves at cond ~ 1/mu^2 inject O(cond*eps)
+    # defects; the reference hits the same wall and stops by bookkeeping).
+    # Mirrored here: rw_p/rw_d decay by the step's exact-arithmetic
+    # residual contraction (1 - alpha(1-sigma)) plus the measured
+    # direction defect, are re-synced to exactly measured values on every
+    # phase change, and the stop additionally requires the RECOMPUTED
+    # worst error below 1e-4 (a safeguard the reference does not have).
+    rw_p, rw_d = _measure_resid_inf(state)
     state0 = state          # for discard_progress phase restarts
     # checkpoint/resume (new scope vs the reference, SURVEY.md section 5):
     # the iterate (x, y, z, tau, kappa) is tiny relative to the data.
@@ -591,6 +664,11 @@ def solve_internal(
         else:
             state = s
         _log(pars, f"  escalating {cur} -> {nxt} ({why})")
+        # re-sync the tracked stopping residuals with exactly measured
+        # values: the leaving phase's defect adds (f32: large) and the
+        # recenter's O(rho*||A e||) perturbation are both absorbed here
+        nonlocal rw_p, rw_d
+        rw_p, rw_d = _measure_resid_inf(state)
         cur = nxt
         phase_iters = 0
         # fresh phase, fresh stall budgets: judging the new phase's early
@@ -788,6 +866,27 @@ def solve_internal(
         if worst <= pars.eps:
             stop = 1
             state = prev_state   # the state the converged record describes
+            break
+        # -- reference stop test on the TRACKED residuals (sedumi.m:545-566;
+        # see the rw_p/rw_d comment above).  The step's exact-arithmetic
+        # effect on the embedding residuals is contraction by
+        # (1 - alpha(1-sigma)); the defect add mirrors R.b += err.b/y0
+        # (sedumi.m:479-482) using the step's measured direction defect. --
+        fk = max(0.0, 1.0 - rec["alpha"] * (1.0 - rec["sigma"]))
+        defp = (rec.get("dir_defect", 0.0)
+                * (rec.get("res_p_abs", 0.0) + rec["mu"]) * rec["alpha"])
+        rw_p = fk * rw_p + (defp if np.isfinite(defp) else 0.0)
+        rw_d = fk * rw_d
+        r0w = 2.0 * rw_p / (1.0 + normb) + 2.0 * rw_d / (1.0 + normc)
+        tau_c = max(float(rec["tau"]), 1e-300)
+        prec1 = r0w / (1.0 + tau_c)
+        rgap = max(rec["cx"] - rec["by"], 0.0) / max(
+            abs(rec["cx"]), abs(rec["by"]), 1e-3)
+        prec2 = (r0w + rgap) / tau_c
+        if prec1 < pars.eps and prec2 < pars.eps and best_worst < 1e-4:
+            stop = 1
+            _log(pars, f"  tracked-residual stop: precision1={prec1:.1e} "
+                       f"precision2={prec2:.1e} (sedumi.m:554-560)")
             break
         # -- plateau: solves at their accuracy floor, no further progress
         # (best-iterate fallback, loopPcg.m:126-146 analog).  Patience 18:
