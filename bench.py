@@ -15,7 +15,7 @@ extra keys   = per-phase device TFLOP/s on the timed example
 
 Structure (hardened after the round-2 rc=124/no-output failure):
   * the watchdog is armed BEFORE `import sedumi_tpu` — a wedged device
-    tunnel during jax/backend init (observed: an axon claim held by a dead
+    tunnel during jax/backend init (observed: a device claim held by a dead
     client blocks every device op indefinitely) still produces the JSON
     line with whatever completed;
   * the TIMED example runs FIRST, so the headline number exists even if

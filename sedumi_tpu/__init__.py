@@ -1,7 +1,7 @@
 """sedumi_tpu — a TPU-native symmetric-cone interior-point solver.
 
 A brand-new JAX/XLA/Pallas framework with the full capability surface of
-SeDuMi 1.3.7 (reference: /root/reference, MATLAB + C-MEX): linear,
+SeDuMi 1.3.7 (MATLAB + C-MEX): linear,
 second-order-cone (incl. rotated) and semidefinite programming (real and
 complex-Hermitian) over products of symmetric cones, solved with a
 homogeneous self-dual embedding and a Nesterov-Todd-scaled wide-region
@@ -34,7 +34,7 @@ if not os.environ.get("SEDUMI_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
 # TPUs compute matmuls at bf16 precision by default (observed rel err
-# 2.6e-3 even for f64 operands on the axon backend); an interior-point
+# 2.6e-3 even for f64 operands on some TPU plugins); an interior-point
 # method is hopeless at that precision.  HIGHEST costs ~20% on the MXU
 # and gives full f32 accumulation (rel err ~1.5e-7), the base precision
 # the compensated double-float layer (fp.py) builds on.

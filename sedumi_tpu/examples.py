@@ -12,12 +12,10 @@ from typing import NamedTuple
 import numpy as np
 import scipy.sparse as sp
 
-EXAMPLES_DIR = os.environ.get(
-    "SEDUMI_EXAMPLES_DIR", "/root/reference/examples"
-)
-# vendored small examples (quantum/arch0/trto3) live in-repo so CI's parity
-# gates run everywhere; the big ones resolve via EXAMPLES_DIR
+# all six reference examples are vendored in-repo (examples/*.mat);
+# SEDUMI_EXAMPLES_DIR overrides the lookup directory if set
 _VENDORED_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
+EXAMPLES_DIR = os.environ.get("SEDUMI_EXAMPLES_DIR", _VENDORED_DIR)
 
 # name -> known optimal value (test_sedumi.m:22-31, examples/README.md)
 KNOWN_OPTIMA = {

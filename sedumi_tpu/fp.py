@@ -2,7 +2,7 @@
 
 The reference assumes solid IEEE f64 everywhere (SURVEY.md hard part 1:
 eps=1e-8, canceltol=1e-12, quad-precision CG).  TPUs have no f64 hardware;
-on the axon backend f64 *storage* works but multiplies/matmuls silently
+on some TPU device plugins f64 *storage* works but multiplies/matmuls silently
 round to f32 (measured: elementwise f64 product rel-err ~1e-7, default
 matmul rel-err 2.6e-3 = bf16 passes).  The framework therefore treats
 precision as an explicit architectural layer:
@@ -42,7 +42,7 @@ _SPLIT_F64 = 134217729.0     # p = 53
 def backend_has_f64() -> bool:
     """True iff the default backend computes f64 products at f64 precision.
 
-    Measured, not assumed (the axon TPU backend emulates f64 in software —
+    Measured, not assumed (some TPU device plugins emulate f64 in software —
     exact but slow; other backends may silently round to f32).  The probe
     must run OUTSIDE any jit trace: ensure_compile_time_eval guards the
     case where the first caller is itself being traced.

@@ -72,7 +72,7 @@ def _jacobi(A: jax.Array, sweeps: int, with_vectors: bool, sort: bool):
         # the precision the platform ACTUALLY computes at (fp.eps_for):
         # fake-f64 constants like finfo(f64).tiny flush to zero in f32
         # compute and the rotation formulas overflow — the NaN source on
-        # the axon TPU backend.
+        # TPU backends.
         ueps = eps_for(A.dtype)
         small = jnp.abs(apq) <= 0.25 * ueps * (jnp.abs(app) + jnp.abs(aqq))
         theta = (aqq - app) / (2.0 * jnp.where(small, 1.0, apq))

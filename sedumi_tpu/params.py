@@ -128,7 +128,7 @@ class Pars:
     # numtol/bignumtol/numlvl are accepted for pars compatibility; they are
     # vestigial IN THE REFERENCE ITSELF: defined with defaults at
     # checkpars.m:135-142 but consumed by no other reference file (verified
-    # by grep over /root/reference/*.m) — so there is no behavior to mirror.
+    # by grep over the reference .m sources) — so there is no behavior to mirror.
     numtol: float = 5e-7
     bignumtol: float = 0.9
     numlvl: int = 0
@@ -141,6 +141,11 @@ class Pars:
     #                       ladder on any backend — see fp.precision_mode
     schur_dtype: str | None = None
     optstep: int = 1      # pure-LP Mehrotra-Ye finite-termination projection
+    refine: int = 1       # terminal conic refinement: optimal-face
+    #                       projection (optstep.m:42-138 generalized from LP
+    #                       to the full l/q/s family, refine.conic_refine).
+    #                       Kept only when it verifiably improves the
+    #                       measured solution grade r0.  0 disables.
     pack_dim: int = 128   # pack PSD blocks of order < pack_dim into
     #                       block-diagonal superblocks of order <= pack_dim
     #                       (exact reformulation; 0 disables — cones.pack_plan)

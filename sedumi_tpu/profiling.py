@@ -32,8 +32,8 @@ from .schur import build_schur
 def _fence(out):
     """Force completion of the dispatched computation.
 
-    jax.block_until_ready does NOT reliably wait on the axon tunnel
-    backend (measured: 0.12 ms for a 2e12-flop Schur formation => the
+    jax.block_until_ready does NOT reliably wait on tunnel-style device
+    backends (measured: 0.12 ms for a 2e12-flop Schur formation => the
     call only timed the dispatch).  Fetching any output value requires
     the whole executable to finish, so fetch the first leaf.
     """
