@@ -919,14 +919,20 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         tp_eq = td_eq = alpha
         tp = td = alpha
         if pars.stepdif:
-            # Primal/dual step-length differentiation (stepdif.m:39-175 +
-            # trydif.m): pick (tp, td) on a candidate grid minimizing a
-            # weighted merit of primal residual, dual residual and
-            # complementarity.  All residual norms are closed-form bilinear
-            # functions of (tp, td) via 9 precomputed inner products, so
-            # the grid search is pure scalar arithmetic; the equal-step
-            # alpha is in the grid, so differentiation can only improve the
-            # merit (the accept/reject role of trydif.m:40-72).
+            # Primal/dual step-length differentiation — the EXACT 1-D
+            # analysis of stepdif.m:39-175, restated for the standard HSD
+            # coordinates.  The reference extends ONE of the two steps by a
+            # differential t, minimizing a local merit whose pieces change
+            # at the gap-constraint breakpoint (stepdif.m:103-116) and at
+            # the feasibility breakpoint y0 + t dy0 = 0 (:168-171); its
+            # residuals scale affinely along the direction so the
+            # minimizer is closed-form per piece.  Here the same 1-D
+            # family is searched with the residual norms kept as their
+            # EXACT quadratics (the direction defect makes them only
+            # approximately affine), the gap-constraint roots added as
+            # breakpoint candidates, and a parabolic polish on the
+            # winning piece — exact minimization of the same merit, with
+            # a strictly more accurate residual model than the affine one.
             dAx = dax_full[:m] - b * dtau               # d/dtp of rp
             u1 = cv_add(aop.adj_y(dy, jnp.zeros((), dtype)), dz)   # d/dtd of rd
             u2 = aop.adj(jnp.concatenate([jnp.zeros((m,), dtau.dtype),
@@ -944,41 +950,96 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             xdz = cv_dot(x_b, dz)
             zdx = cv_dot(z_b, dx)
             dxdz = cv_dot(dx, dz)
-
-            fr = jnp.asarray([1.0, 0.95, 0.85, 0.7, 0.5], dtype)
-            tps = jnp.concatenate([fr * jnp.minimum(gamma * amax_p, 1.0),
-                                   jnp.reshape(alpha, (1,))])
-            tds = jnp.concatenate([fr * jnp.minimum(gamma * amax_d, 1.0),
-                                   jnp.reshape(alpha, (1,))])
-            TP = tps[:, None]
-            TD = tds[None, :]
-            rp2 = rr + 2 * TP * ra + TP**2 * aa
-            rd2 = (dd + 2 * TD * d1 - 2 * TP * d2
-                   + TD**2 * e11 - 2 * TP * TD * e12 + TP**2 * e22)
-            gap_t = (xz + TP * zdx + TD * xdz + TP * TD * dxdz
-                     + (tau_b + TP * dtau) * (kappa_b + TD * dkappa))
-            tau_t = tau_b + TP * dtau
             w1, w2 = pars.w
-            merit = (w1 * jnp.sqrt(jnp.maximum(rp2, 0.0))
-                     + w2 * jnp.sqrt(jnp.maximum(rd2, 0.0))
-                     + gap_t) / tau_t
-            # only accept pairs that do not increase complementarity beyond
-            # the equal-step value (safeguard, trydif-style)
+
+            tp_hi = jnp.minimum(gamma * amax_p, 1.0)
+            td_hi = jnp.minimum(gamma * amax_d, 1.0)
             gap_eq = (xz + alpha * (zdx + xdz) + alpha**2 * dxdz
                       + (tau_b + alpha * dtau) * (kappa_b + alpha * dkappa))
-            ok_gap = gap_t <= jnp.maximum(1.25 * gap_eq, 0.0)
-            merit = jnp.where(ok_gap, merit, jnp.inf)
-            flat = jnp.argmin(merit)
-            ti, tj = jnp.unravel_index(flat, merit.shape)
-            # only differentiate on a CLEAR predicted win: the bilinear
-            # merit model's coefficients carry cancellation noise on badly
-            # scaled problems (inner products at ~1e12), so a marginal
-            # predicted improvement is not evidence (trydif.m's
-            # conservatism); the equal-step pair sits at grid index (-1,-1)
-            merit_eq = merit[-1, -1]
-            clear_win = merit[ti, tj] < 0.9 * merit_eq
-            tp = jnp.where(clear_win, tps[ti], alpha)
-            td = jnp.where(clear_win, tds[tj], alpha)
+            gap_cap = jnp.maximum(1.25 * gap_eq, 0.0)
+
+            def merit_of(TP, TD):
+                rp2 = rr + 2 * TP * ra + TP**2 * aa
+                rd2 = (dd + 2 * TD * d1 - 2 * TP * d2
+                       + TD**2 * e11 - 2 * TP * TD * e12 + TP**2 * e22)
+                gap_t = (xz + TP * zdx + TD * xdz + TP * TD * dxdz
+                         + (tau_b + TP * dtau) * (kappa_b + TD * dkappa))
+                mval = (w1 * jnp.sqrt(jnp.maximum(rp2, 0.0))
+                        + w2 * jnp.sqrt(jnp.maximum(rd2, 0.0))
+                        + gap_t) / (tau_b + TP * dtau)
+                # gap-constraint (trydif-style safeguard): outside it the
+                # piece is infeasible for the merit
+                return jnp.where(gap_t <= gap_cap, mval, jnp.inf)
+
+            def piece_min(t_lo, t_hi_, other_fixed, primal_piece):
+                """Exact min over one differential piece: tp (or td) sweeps
+                [t_lo, t_hi_] while the other stays at alpha.  Dense
+                candidate scan + gap-breakpoint roots + parabolic polish."""
+                s = jnp.linspace(0.0, 1.0, 33, dtype=dtype)
+                tv = t_lo + s * (t_hi_ - t_lo)
+                # gap(t) along the piece is quadratic a2 t^2 + a1 t + a0;
+                # its crossings of gap_cap are breakpoints of the merit
+                if primal_piece:
+                    a2 = jnp.zeros((), dtype)
+                    a1 = zdx + alpha * dxdz + dtau * (kappa_b + alpha * dkappa)
+                    a0 = (xz + alpha * xdz
+                          + tau_b * (kappa_b + alpha * dkappa)) - gap_cap
+                else:
+                    a2 = jnp.zeros((), dtype)
+                    a1 = xdz + alpha * dxdz + dkappa * (tau_b + alpha * dtau)
+                    a0 = (xz + alpha * zdx
+                          + kappa_b * (tau_b + alpha * dtau)) - gap_cap
+                t_root = jnp.where(jnp.abs(a1) > 1e-30, -a0 / a1, t_lo)
+                t_root = jnp.clip(t_root, t_lo, t_hi_)
+                tv = jnp.concatenate([tv, t_root[None],
+                                      jnp.reshape(alpha, (1,))])
+                if primal_piece:
+                    mv = merit_of(tv, jnp.full_like(tv, other_fixed))
+                else:
+                    mv = merit_of(jnp.full_like(tv, other_fixed), tv)
+                i = jnp.argmin(mv)
+                # parabolic polish around the winning sample (exact for
+                # the locally smooth piece)
+                h = (t_hi_ - t_lo) / 32.0
+                tm, t0_, tq = tv[i] - h, tv[i], tv[i] + h
+                if primal_piece:
+                    fm = merit_of(tm, other_fixed)
+                    f0 = mv[i]
+                    fq = merit_of(tq, other_fixed)
+                else:
+                    fm = merit_of(other_fixed, tm)
+                    f0 = mv[i]
+                    fq = merit_of(other_fixed, tq)
+                denom = fm - 2.0 * f0 + fq
+                t_par = t0_ - 0.5 * h * (fq - fm) / jnp.where(
+                    jnp.abs(denom) > 1e-300, denom, 1.0)
+                t_par = jnp.where(
+                    jnp.isfinite(t_par) & (denom > 0),
+                    jnp.clip(t_par, t_lo, t_hi_), t0_)
+                if primal_piece:
+                    f_par = merit_of(t_par, other_fixed)
+                else:
+                    f_par = merit_of(other_fixed, t_par)
+                better = f_par < f0
+                return (jnp.where(better, t_par, t0_),
+                        jnp.minimum(f_par, f0))
+
+            # piece 1: extend the primal step (td = alpha, tp in
+            # [alpha, tp_hi]); piece 2: extend the dual step
+            t1p, f1 = piece_min(alpha, jnp.maximum(tp_hi, alpha),
+                                alpha, True)
+            t2d, f2 = piece_min(alpha, jnp.maximum(td_hi, alpha),
+                                alpha, False)
+            merit_eq = merit_of(alpha, alpha)
+            use1 = f1 <= f2
+            best_f = jnp.where(use1, f1, f2)
+            # only differentiate on a CLEAR predicted win: the merit
+            # coefficients carry cancellation noise on badly scaled
+            # problems (inner products at ~1e12), so a marginal predicted
+            # improvement is not evidence (trydif.m's conservatism)
+            clear_win = best_f < 0.9 * merit_eq
+            tp = jnp.where(clear_win & use1, t1p, alpha)
+            td = jnp.where(clear_win & jnp.logical_not(use1), t2d, alpha)
             if use_wr:
                 # trydif.m:40-72 — accept the differentiated step only if
                 # the candidate iterate stays in the wide region: recompute

@@ -348,55 +348,113 @@ def conic_refine(At, b, c, layout: Layout, x, y,
         r0 = max(r_gap, pinf_n / den_p, dinf_n / den_d)
         return r0, pinf_n, dinf_n, _ld_dot(xc, zc)
 
-    r0_cur, _, _, _ = grade(x, y, z)
+    def comp_grade(xc, yc, zc):
+        """Composite SELECTION quality: like r0 but with (a) the SYMMETRIC
+        gap |cx - by| (the reference's one-sided r_gap treats cx < by as
+        perfect, which would let a cone-feasible pair with a large
+        NEGATIVE gap — an infeasible-dual artifact — win), and (b) an
+        err2-style primal cone-violation term, so the best-pick cannot
+        trade feasibility for an x outside the cone."""
+        r0v, pinf_n, dinf_n, gap = grade(xc, yc, zc)
+        cx = _ld_dot(c, xc)
+        by = _ld_dot(b, yc)
+        abscx = float(np.abs(c) @ np.abs(xc))
+        gap_sym = abs(cx - by) / (abs(by) + 1e-5 * (1.0 + abscx))
+        xviol = max(0.0, -_cone_min_eig(layout, xc))
+        comp = max(r0v, gap_sym, xviol / den_p)
+        return comp, r0v, pinf_n, dinf_n, gap
+
+    cg_cur, _, _, _, _ = comp_grade(x, y, z)
     best: RefineCand | None = None
+    best_cg = cg_cur
     maxb = float(np.max(np.abs(b))) if b.size else 0.0
 
-    for band in (0.0, 1e-6, -1e-6):
-        face = _classify(layout, x, z, band)
-        grams = _grams(At, layout, face)
-        if grams is None:
-            continue
-        GP, GD = grams
+    # DEGENERACY LADDER.  One face rarely serves both sides on degenerate
+    # data (measured on arch0: X's spectrum decays 2.2, 0.4, 4e-4 x6,
+    # 1e-5... with no clean gap; the rank-8 tangent projection must absorb
+    # 0.15 of discarded A-mass and goes 5e-4 indefinite).  So the primal
+    # and dual subspaces are chosen INDEPENDENTLY:
+    #   primal 'full' = plain affine projection (tiny correction, x keeps
+    #     its genuine small-eigenvalue tail — always cone-safe);
+    #   primal tangent at band b = rank-restricted projection;
+    #   dual face at band b' >= b = where z is forced to vanish.
+    # Every (primal, dual) combination is graded and the best verified
+    # candidate wins; the equal-band combination reproduces the strictly
+    # complementary case exactly.
+    primal_bands = [None, 0.0, -1e-3]       # None = full-space projection
+    dual_bands = [0.0, 1e-3]
+
+    # --- primal candidates ------------------------------------------------
+    x_cands: list[tuple[str, np.ndarray]] = []
+    for pb in primal_bands:
+        if pb is None:
+            face_p = None
+            proj = lambda v: v
+            GP = np.asarray((At.T @ At).todense())
+        else:
+            face_p = _classify(layout, x, z, pb)
+            proj = lambda v, f=face_p: _proj_tangent(layout, f, v)
+            grams = _grams(At, layout, face_p)
+            if grams is None:
+                continue
+            GP = grams[0]
         pinvP = _PinvG(GP)
         if pinvP.rank == 0:
             continue
-        # --- primal: tangent-space projection, compensated refinement ----
-        x_new = _proj_tangent(layout, face, x)
+        x_new = proj(x)
         for _ in range(3):
             rp = np.asarray(b.astype(_LD) - _ld_A_x(At, x_new), np.float64)
             lam = pinvP(rp)
-            x_new = x_new + _proj_tangent(layout, face,
-                                          np.asarray(At @ lam, np.float64))
+            x_new = x_new + proj(np.asarray(At @ lam, np.float64))
         rp_fin = np.asarray(b.astype(_LD) - _ld_A_x(At, x_new), np.float64)
         if np.linalg.norm(rp_fin) > 1e-7 * (1.0 + maxb):
-            continue            # tangent space cannot carry b: wrong guess
-        # cone check: the tangent cross-terms legitimately cost
-        # O(||T||^2 / lam_min(S)) of negativity; primal cone membership
-        # does not enter r0 (the reference grades the same way), so only
-        # clearly-wrong projections are rejected here
+            continue            # subspace cannot carry b: wrong guess
         xmin = _cone_min_eig(layout, x_new)
-        if xmin < -1e-6 * max(_cone_scale(layout, x_new), 1.0):
+        if xmin < -1e-4 * max(_cone_scale(layout, x_new), 1.0):
+            continue            # clearly broken projection
+        x_cands.append(("full" if pb is None else f"tan@{pb:g}", x_new))
+    if not x_cands:
+        return None
+
+    # --- dual candidates --------------------------------------------------
+    y_cands: list[tuple[str, np.ndarray, np.ndarray]] = [("none", y, z)]
+    for db in dual_bands:
+        face_d = _classify(layout, x, z, db)
+        grams = _grams(At, layout, face_d)
+        if grams is None:
             continue
-        # --- dual: annihilate z on the face -------------------------------
-        pinvD = _PinvG(GD)
+        pinvD = _PinvG(grams[1])
+        if pinvD.rank == 0:
+            continue
         y_new = y.copy()
         z_new = z.copy()
         for _ in range(3):
-            pz = _proj_face(layout, face, z_new)
+            pz = _proj_face(layout, face_d, z_new)
             dy = pinvD(np.asarray(At.T @ pz, np.float64))
             y_new = y_new + dy
             z_new = np.asarray(c.astype(_LD) - _ld_At_y(At, y_new),
                                np.float64)
-        r0_new, pinf_n, dinf_n, gap = grade(x_new, y_new, z_new)
-        info = (f"rankP={pinvP.rank}/{At.shape[1]} band={band:g} "
-                f"pinf={pinf_n:.1e} dinf={dinf_n:.1e} gap={gap:.1e}")
-        if fid:
-            print(f"  conic refine: r0 {r0_cur:.2e} -> {r0_new:.2e} ({info})")
-        if r0_new < r0_cur and (best is None or r0_new < best.r0):
-            best = RefineCand(x=x_new, y=y_new, z=z_new, r0=r0_new,
-                              pinf_n=pinf_n, dinf_n=dinf_n, gap=gap,
-                              rank_info=info)
-            if r0_new <= max(eps * 1e-2, 1e-11):
-                break           # already far below target; stop retrying
+        y_cands.append((f"face@{db:g}", y_new, z_new))
+
+    # --- best verified combination ---------------------------------------
+    for pname, xc in x_cands:
+        for dname, yc, zc in y_cands:
+            cg, r0v, pinf_n, dinf_n, gap = comp_grade(xc, yc, zc)
+            info = (f"{pname}+{dname} pinf={pinf_n:.1e} "
+                    f"dinf={dinf_n:.1e} gap={gap:.1e}")
+            if fid:
+                print(f"  conic refine: grade {cg_cur:.2e} -> {cg:.2e} "
+                      f"({info})")
+            # DECISIVE improvement only (5x): a marginal win on the
+            # composite can still move the individual objectives away
+            # from the optimum on a shallow degenerate iterate (measured
+            # on arch0: candidate cg 4.0e-7 vs 4.3e-7 while |cx - opt|
+            # regressed 2e-6 -> 7.6e-6) — such iterates must be finished
+            # by the dd endgame, not "refined" into honesty that the
+            # parity gate punishes
+            if cg < 0.2 * best_cg:
+                best_cg = cg
+                best = RefineCand(x=xc, y=yc, z=zc, r0=r0v,
+                                  pinf_n=pinf_n, dinf_n=dinf_n, gap=gap,
+                                  rank_info=info)
     return best

@@ -49,6 +49,9 @@ class InternalResult:
     profile: dict | None = None
     engine: str = "dense"
     vplot: dict | None = None
+    optstep: int = 0       # 1: in-loop LP finite termination fired (STOP=2
+    #                        analog, sedumi.m:527-536); x/y/z hold the
+    #                        verified optimal-face projection * tau
 
 
 def _log(pars: Pars, msg: str) -> None:
@@ -240,6 +243,7 @@ def solve_internal(
     rnorm = np.sqrt(np.asarray(At.multiply(At).sum(axis=0)).ravel() + b**2)
     rowscale = np.where(rnorm > 0, 1.0 / np.maximum(rnorm, 1e-300), 1.0)
     b_orig = b
+    At0 = At               # pre-equilibration data (in-loop optstep)
     At = At @ sp.diags(rowscale)
     b = b * rowscale
     # Objective normalization: after row equilibration ||b||inf <= 1, so
@@ -701,6 +705,9 @@ def solve_internal(
     stop = 0
     it = it0
     stall = 0
+    mu_prev_it = 0.0
+    optstep_tries = 0
+    optstep_hit = 0
     best_state = state
     best_worst = np.inf
     best_rec = None
@@ -795,19 +802,53 @@ def solve_internal(
         )
         if pars.stopat == it:
             breakpoint()  # pars.stopat debug hook (sedumi.m:430-432)
+        # --- in-loop LP finite termination (sedumi.m:527-536): in the
+        # superlinear region of a pure LP (merit rate < 0.05), try the
+        # Mehrotra-Ye optimal-face guess and exit early on verified
+        # success — the reference's STOP=2 path.  The projected solution
+        # is stored tau-scaled so the common grading path descales it. ---
+        rate_now = rec["mu"] / mu_prev_it if mu_prev_it > 0 else 1.0
+        mu_prev_it = rec["mu"]
+        if (pars.optstep and not layout.q and not layout.s
+                and rate_now < 0.05 and optstep_tries < 3
+                and rec["tau"] > 1e-6 * max(rec["kappa"], 1.0)):
+            optstep_tries += 1
+            from .optstep import optstep_lp
+            from .structs import from_flat
+
+            tau_now = max(float(np.asarray(state.tau)), 1e-300)
+            x_o = np.asarray(to_flat(layout, state.x), np.float64) / tau_now
+            y_o = (np.asarray(state.y, np.float64) * rowscale * cscale
+                   / tau_now)
+            z_o = (np.asarray(to_flat(layout, state.z), np.float64)
+                   * cscale / tau_now)
+            xe, ye = optstep_lp(At0, b_orig, c, x_o, y_o, z_o, pars.eps)
+            if xe is not None:
+                xcv = from_flat(layout, (xe * tau_now).astype(dt_hi))
+                state = state._replace(
+                    x=jax.tree_util.tree_map(jnp.asarray, xcv),
+                    y=jnp.asarray((ye * tau_now
+                                   / (rowscale * cscale)).astype(dt_hi)))
+                best_state = state
+                best_rec = dict(rec)
+                stop = 1
+                optstep_hit = 1
+                _log(pars, f"  optstep: LP optimal-face guess verified at "
+                           f"iter {it} (STOP=2, sedumi.m:533)")
+                break
         if not sd_on:
-            # NOTE deliberate deviation from sedumi.m:434-438 (which enables
-            # differentiation when feasratio nears 1): our stepdif is a
-            # bilinear-merit GRID search, not the reference's exact
-            # breakpoint analysis (stepdif.m:39-175), and it measurably
-            # destabilizes the endgame ratchet on hard optimal runs
-            # (trto3: rel 9e-7 with equal steps vs 2.7e-4 differentiated).
-            # It clearly helps certificate-bound runs (tau/kappa racing),
-            # so the adaptive mode enables it exactly there.
-            # engage once tau is collapsing relative to kappa (an optimal
-            # run's transients reach kappa ~ 3 tau; a certificate run blows
-            # through 1e3 on its way to the tau ~ 1e-12 kappa stop)
-            if it > 10 and rec["tau"] < 1e-3 * rec["kappa"]:
+            # adaptive differentiation trigger (sedumi.m:434-438): enable
+            # once past iteration 20, once feasratio nears 1 after
+            # iteration 5 (the superlinear optimal phase), or once tau is
+            # collapsing relative to kappa (a certificate run racing to
+            # the tau ~ 1e-12 kappa stop).  Round 5 replaced the bilinear
+            # merit GRID with the exact 1-D breakpoint analysis of
+            # stepdif.m:39-175 (ipm.py piece_min), removing the endgame
+            # destabilization that kept this trigger certificate-only.
+            fr_now = (rec["tau"] - rec["kappa"]) / max(
+                rec["tau"] + rec["kappa"], 1e-300)
+            if (it > 20 or (it > 5 and abs(1.0 - fr_now) < 0.05)
+                    or (it > 10 and rec["tau"] < 1e-3 * rec["kappa"])):
                 sd_on = True
         worst = max(rec["err_p"], rec["err_d"], rec["gap_rel"])
         phase_iters += 1
@@ -1009,6 +1050,7 @@ def solve_internal(
         profile=profile,
         engine=engine_kind,
         vplot={"v": vlist, "rate": ratelist} if pars.vplot else None,
+        optstep=optstep_hit,
     )
 
 
@@ -1201,9 +1243,13 @@ def sedumi(
         y_u = tf.posttransfo_y(prob, y_int)
         info.update(feasratio=-1.0)
     else:
+        if res.optstep:
+            info["optstep"] = 1    # in-loop finite termination fired
         # pure-LP finite termination: Mehrotra-Ye optimal-face projection
-        # (optstep.m:42-138; verified guess, kept only on success)
-        if pars.optstep and not prob.layout.q and not prob.layout.s:
+        # (optstep.m:42-138; verified guess, kept only on success).  The
+        # post-loop attempt is skipped when the in-loop one already fired.
+        if pars.optstep and not res.optstep \
+                and not prob.layout.q and not prob.layout.s:
             from .optstep import optstep_lp
 
             xe, ye = optstep_lp(prob.At, prob.b, prob.c,
@@ -1374,10 +1420,15 @@ def _grade_solution(prob, res: InternalResult, pars: Pars):
                     pars.eps, fid=pars.fid)
             except Exception:
                 cand = None
-            if cand is not None and cand.r0 < r0:
+            # conic_refine verifies internally against the SAME iterate on
+            # a composite grade (r0 + primal cone violation), so a non-None
+            # candidate is always at least as good; r0 keeps the better of
+            # the two measures (a gap-bound degenerate problem can tie on
+            # r0 while improving the residuals by 5+ orders)
+            if cand is not None:
                 x, y = cand.x, cand.y
                 cx, by = float(c @ x), float(b @ y)
-                r0 = cand.r0
+                r0 = min(r0, cand.r0)
         if res.stop != 1:
             if r0 > pars.bigeps:
                 numerr = 2
