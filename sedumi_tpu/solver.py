@@ -153,7 +153,10 @@ _STEP_CACHE_MAX = 32
 def _cached_make_step(layout, pars, normb, normc, cscale, dtype,
                       engine, compute_dtype=None, host_impl=None,
                       err_dens=None):
-    if engine is not None:
+    # engine may be None (in-step dense engine), the sentinel "dd" (the
+    # double-double endgame engine — stateless, so cacheable), or a live
+    # engine object (sparse/panel — closes over arrays, not cacheable)
+    if engine is not None and engine != "dd":
         return ipm.make_step(layout, pars, normb, normc, cscale,
                              dtype=dtype, engine=engine,
                              compute_dtype=compute_dtype,
@@ -164,12 +167,18 @@ def _cached_make_step(layout, pars, normb, normc, cscale, dtype,
            repr(pars.chol), repr(pars.cg), pars.schur_dtype, pars.dtype,
            pars.debug, layout.l, tuple(layout.q), tuple(layout.s),
            float(normb), float(normc), float(cscale), str(dtype),
-           str(compute_dtype), host_impl,
+           str(compute_dtype), host_impl, engine,
            None if err_dens is None else tuple(map(float, err_dens)))
     fn = _STEP_CACHE.get(key)
     if fn is None:
+        if engine == "dd":
+            from .ddengine import DdSchurEngine
+
+            eng = DdSchurEngine()
+        else:
+            eng = None
         fn = ipm.make_step(layout, pars, normb, normc, cscale,
-                           dtype=dtype, engine=None,
+                           dtype=dtype, engine=eng,
                            compute_dtype=compute_dtype,
                            err_dens=err_dens)
         if pars.debug:
@@ -572,6 +581,49 @@ def solve_internal(
     # differ arbitrarily from the fresh start's)
     rw_p, rw_d = _measure_resid_inf(state)
     host64_possible = host_dev is not None or jax.default_backend() == "cpu"
+    # --- dd64 endgame availability (ddengine.DdSchurEngine): the
+    # double-double rung that breaks the cond(ADA)*eps_f64 accuracy wall.
+    # Gated by a formation-cost model (the Ozaki dd formation is ~11x the
+    # f64 flops, host-side): the threshold admits arch0 (~4e10) and
+    # control07 (~1.4e11) and excludes trto3 (~4.6e12, whose nondegenerate
+    # structure the terminal refinement already finishes at r0~6e-11).
+    def _dd_form_cost() -> float:
+        mp1 = m + 1
+        cost = float(mp1 * mp1 * (layout.l + sum(layout.q)))
+        for bkt in layout.s_buckets:
+            cost += mp1 * 4.0 * bkt.count * bkt.dim**3
+            cost += float(mp1) * mp1 * bkt.count * bkt.dim * bkt.dim
+        return cost * 11.0
+
+    dd64_possible = (engine_kind == "dense" and host64_possible
+                     and m <= 1200 and _dd_form_cost() < 2.5e11)
+    if dd64_possible and mode != "f32":
+        phase_order = phase_order + ["dd64"]
+
+    def _ensure_dd64():
+        if "dd64" in bundles:
+            return True
+        if not dd64_possible:
+            return False
+        if host_dev is None:
+            bundles["dd64"] = dict(
+                step=_cached_make_step(layout, pars, normb, normc, cscale,
+                                       np.float64, "dd",
+                                       err_dens=(den_p, den_d)),
+                aop=_mk_op(np.float64), aop_lo=None,
+                b=jnp.asarray(b, np.float64),
+                rs=jnp.asarray(rowscale, np.float64),
+                dev=None, sdt=np.dtype(np.float64), recenter=True)
+            return True
+        bundles["dd64"] = dict(
+            step=_host_wrap(_cached_make_step(
+                layout, pars, normb, normc, cscale, np.float64,
+                "dd", host_impl="xla", err_dens=(den_p, den_d))),
+            aop=_mk_op(np.float64, device=host_dev), aop_lo=None,
+            b=jax.device_put(np.asarray(b, np.float64), host_dev),
+            rs=jax.device_put(np.asarray(rowscale, np.float64), host_dev),
+            dev=host_dev, sdt=np.dtype(np.float64))
+        return True
 
     def _ensure_host64():
         """Lazily build the true-f64 last-resort phase: the host CPU device
@@ -645,6 +697,8 @@ def solve_internal(
             if skip_hybrid and nxt == "hybrid":
                 continue
             if nxt == "host64" and not _ensure_host64():
+                continue
+            if nxt == "dd64" and not _ensure_dd64():
                 continue
             break
         s = ipm.cast_state(state, dt_hi)
@@ -974,12 +1028,27 @@ def solve_internal(
         # 2.96e-6 under identical code; 12 -> 18 in round 4 after a 9.4e-7
         # TPU margin). --
         if cur != "f32" and since_best >= 18 and best_worst < 1e-5:
-            stop = 1 if best_worst <= pars.eps else -1
+            if best_worst <= pars.eps:
+                stop = 1
+                break
+            # above target at a plateau: hand the BEST iterate to the
+            # double-double rung (exact directions break the
+            # cond(ADA)*eps_f64 wall that caused the plateau) before
+            # giving up with numerr=1
+            if cur != phase_order[-1]:
+                state = best_state
+                if _escalate(f"endgame plateau at {best_worst:.1e}"):
+                    continue
+            stop = -1
             break
         # hard plateau: a long stretch without >=0.05% improvement (the
         # f32 phase and a non-final hybrid phase escalate earlier above;
         # generous because the endgame's best-iterate ratchet is slow)
         if cur != "f32" and since_best >= 30:
+            if cur != phase_order[-1]:
+                state = best_state
+                if _escalate("hard plateau"):
+                    continue
             stop = -1
             break
         # -- infeasibility: tau -> 0 while kappa stays --
