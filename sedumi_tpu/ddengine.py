@@ -105,14 +105,30 @@ class DdSchurEngine:
         m = aop.m
         dt = jnp.float64
 
-        def host_prepare(Al, d_l, aqs, wbs, eta2s, ass, rs, reg_):
+        def host_prepare(Al, d_l, aqs, wbs, eta2s, ass, coos, rs, reg_):
             Al = np.asarray(Al, np.float64)
+            # densify COO-represented PSD buckets on the host: the dd
+            # congruence needs the full [mp1, k*d*d] block data (memory
+            # ~mp1*kdd*8, bounded by the dd64 admission cost model)
+            as_full = []
+            di = ci = 0
+            for kind, (k_, d_) in zip(self._kinds, self._s_shapes):
+                if kind == "dense":
+                    as_full.append(np.asarray(ass[di], np.float64))
+                    di += 1
+                else:
+                    b_row, b_loc, b_val = coos[ci]
+                    ci += 1
+                    mat = np.zeros((mp1, k_ * d_ * d_))
+                    mat[np.asarray(b_row), np.asarray(b_loc)] = \
+                        np.asarray(b_val, np.float64)
+                    as_full.append(mat)
             Mh, Ml = _form_dd(
                 Al, np.asarray(d_l, np.float64),
                 [np.asarray(a, np.float64) for a in aqs], aop.q_shapes,
                 [np.asarray(w, np.float64) for w in wbs],
                 [np.asarray(e, np.float64) for e in eta2s],
-                [np.asarray(a, np.float64) for a in ass], self._s_shapes,
+                as_full, self._s_shapes,
                 [np.asarray(r, np.float64) for r in rs],
                 float(reg_))
             f = dd.dd_chol(Mh[:m, :m], Ml[:m, :m])
@@ -126,18 +142,28 @@ class DdSchurEngine:
             return (Mh, Ml, f.Lh, f.Ll, InvH, InvL,
                     np.float64(1.0 if f.ok else 0.0))
 
-        # flatten the PSD arrays depending on the operator flavor
+        # flatten the PSD arrays depending on the operator flavor; COO
+        # buckets travel as triplets and are densified in the callback
+        coos: list = []
         if hasattr(aop, "As"):                      # DenseAOp
             ass = list(aop.As)
-            self._s_shapes = aop.s_shapes
-        else:                                       # CooAOp: dense parts only
+            self._s_shapes = tuple(aop.s_shapes)
+            self._kinds = ("dense",) * len(ass)
+        else:                                       # CooAOp
             ass = []
+            kinds = []
             sshapes = []
             for part, meta in zip(aop.s_parts, aop.s_meta):
+                sshapes.append((meta[1], meta[2]))
                 if meta[0] == "dense":
                     ass.append(part["mat"])
-                    sshapes.append((meta[1], meta[2]))
+                    kinds.append("dense")
+                else:
+                    coos.append((part["b_row"], part["b_loc"],
+                                 part["b_val"]))
+                    kinds.append("coo")
             self._s_shapes = tuple(sshapes)
+            self._kinds = tuple(kinds)
 
         nb = 48
         npan = -(-m // nb)
@@ -153,7 +179,7 @@ class DdSchurEngine:
         Mh, Ml, Lh, Ll, InvH, InvL, okf = jax.pure_callback(
             host_prepare, out_shapes,
             aop.Al, S.d_l, list(aop.Aq), list(S.q_wb), list(S.q_eta2),
-            ass, list(S.s_r), reg)
+            ass, coos, list(S.s_r), reg)
         ctx = (Mh, Ml, Lh, Ll, InvH, InvL)
         return ctx, Mh[:m, m], Mh[m, m], okf > 0.5
 

@@ -211,6 +211,17 @@ class StepStats(NamedTuple):
     wr_delta: jax.Array   # proximity delta of the incoming iterate (iswnbr)
     centered: jax.Array   # 1.0 when the initial centering step was taken
     maxt1: jax.Array      # predictor boundary step from the centered point
+    mu_floor: jax.Array   # state-representation complementarity floor:
+    #                       eps_dtype * max_blk d * lammax(x) * lammax(z).
+    #                       Below ~this, f64 state coordinates can no
+    #                       longer represent cone-interior complementarity
+    #                       (z drifts out of the cone inside the spectral
+    #                       probes' blind spot) and the gap signal is
+    #                       CORRUPTED: pursuing mu further produces
+    #                       feasible-but-suboptimal wander (measured on
+    #                       control07: a 6.7e-6-suboptimal point graded
+    #                       r0=3e-9).  The driver stops the ladder-top
+    #                       phase at this floor.
 
 
 def cv_jmul(a: ConeVec, b: ConeVec) -> ConeVec:
@@ -417,6 +428,22 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         rg = cx - by + kappa
         gap = cv_dot(x, z)
         mu = (gap + tau * kappa) / (nu + 1.0)
+
+        # state-representation complementarity floor (see StepStats doc):
+        # max-diagonal products are cheap O(eps)-accurate lammax proxies
+        eps_state = float(jnp.finfo(dtype).eps)
+        mf_parts = [jnp.reshape(tau * kappa, ())]
+        if x.l.size:
+            mf_parts.append(jnp.max(x.l * z.l))
+        for xq_, zq_ in zip(x.q, z.q):
+            mf_parts.append(2.0 * jnp.max(xq_[..., 0] * zq_[..., 0]))
+        for xs_, zs_ in zip(x.s, z.s):
+            dx_ = jnp.max(jnp.abs(jnp.diagonal(xs_, axis1=-2, axis2=-1)),
+                          axis=-1)
+            dz_ = jnp.max(jnp.abs(jnp.diagonal(zs_, axis1=-2, axis2=-1)),
+                          axis=-1)
+            mf_parts.append(xs_.shape[-1] * jnp.max(dx_ * dz_))
+        mu_floor = eps_state * jnp.max(jnp.stack(mf_parts))
 
         # --- scaling + Schur (compute dtype) -------------------------------
         S = nt.compute_scaling(lo_safe(x), lo_safe(z), herm=herm_flags)
@@ -1180,6 +1207,7 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             centered=(gate.astype(dtype) if sturm
                       else jnp.zeros((), dtype)),
             maxt1=(maxt1 if sturm else jnp.zeros((), dtype)),
+            mu_floor=mu_floor,
         )
         return new, stats
 

@@ -878,6 +878,20 @@ def solve_internal(
                    * cscale / tau_now)
             xe, ye = optstep_lp(At0, b_orig, c, x_o, y_o, z_o, pars.eps)
             if xe is not None:
+                # objective-monotonicity guard: a complementary basis pair
+                # always has gap 0, so optstep's internal verification
+                # cannot see a WRONG-but-feasible vertex (measured: an
+                # iter-5 guess at mu 2e-4 passed verification 2.9e-3
+                # suboptimal).  The primal path converges from above and
+                # the dual from below, so the true optimal vertex must
+                # improve on BOTH current objectives.
+                cx_it = rec["cx"] / max(rec["tau"], 1e-300)
+                by_it = rec["by"] / max(rec["tau"], 1e-300)
+                sc_obj = 1e-6 * (1.0 + abs(cx_it) + abs(by_it))
+                if (float(c @ xe) > cx_it + sc_obj
+                        or float(b_orig @ ye) < by_it - sc_obj):
+                    xe = None
+            if xe is not None:
                 xcv = from_flat(layout, (xe * tau_now).astype(dt_hi))
                 state = state._replace(
                     x=jax.tree_util.tree_map(jnp.asarray, xcv),
@@ -980,6 +994,19 @@ def solve_internal(
         if worst <= pars.eps:
             stop = 1
             state = prev_state   # the state the converged record describes
+            break
+        # -- state-representation mu floor (ipm.StepStats.mu_floor): at the
+        # ladder top, pursuing complementarity below what f64 state
+        # coordinates can represent corrupts the gap signal and the
+        # iterate WANDERS to feasible-but-suboptimal points (measured on
+        # control07: 6.7e-6 suboptimal at claimed r0=3e-9).  Stop honestly
+        # at the floor; the terminal refinement finishes from the best
+        # iterate. --
+        if (cur == phase_order[-1] and it - it0 > 3 and best_worst < 1e-3
+                and rec["mu"] < 30.0 * rec.get("mu_floor", 0.0)):
+            _log(pars, f"  mu {rec['mu']:.1e} at the f64 state floor "
+                       f"({rec['mu_floor']:.1e}): stopping honestly")
+            stop = 1 if best_worst <= pars.eps else -1
             break
         # -- reference stop test on the TRACKED residuals (sedumi.m:545-566;
         # see the rw_p/rw_d comment above).  The step's exact-arithmetic
