@@ -125,6 +125,7 @@ def main() -> None:
             _RESULT["vs_baseline"] = round(passes / max(attempted, 1), 4)
             _progress(name, {"rel": float(f"{rel:.3e}"), "iter": info["iter"],
                              "numerr": info["numerr"],
+                             "r0": float(f"{info.get('r0', 0.0):.3e}"),
                              "cold_s": round(wall_cold, 1), "pass": bool(ok),
                              "phases": info.get("phases", {})})
             if name == timed_name:

@@ -212,16 +212,21 @@ class StepStats(NamedTuple):
     centered: jax.Array   # 1.0 when the initial centering step was taken
     maxt1: jax.Array      # predictor boundary step from the centered point
     mu_floor: jax.Array   # state-representation complementarity floor:
-    #                       eps_dtype * max_blk d * lammax(x) * lammax(z).
-    #                       Below ~this, f64 state coordinates can no
-    #                       longer represent cone-interior complementarity
-    #                       (z drifts out of the cone inside the spectral
-    #                       probes' blind spot) and the gap signal is
+    #                       eps_dtype * (sum_i |x_i z_i| + tau kappa)/(nu+1)
+    #                       — the rounding floor of the COMPUTED gap at this
+    #                       iterate.  Below ~this, the gap signal is
     #                       CORRUPTED: pursuing mu further produces
     #                       feasible-but-suboptimal wander (measured on
     #                       control07: a 6.7e-6-suboptimal point graded
-    #                       r0=3e-9).  The driver stops the ladder-top
-    #                       phase at this floor.
+    #                       r0=3e-9).  The entrywise |x||z| sum (NOT a
+    #                       block-max lammax product: near-complementary
+    #                       iterates pair large coordinates with small
+    #                       ones, and the max-max model overestimated
+    #                       trto3's floor by 4+ orders, cutting its run
+    #                       50 iterations early at rel 4.4e-4) makes this
+    #                       the honest dot-product-rounding bound.  The
+    #                       driver stops the ladder-top phase at this
+    #                       floor — only once progress has also stalled.
 
 
 def cv_jmul(a: ConeVec, b: ConeVec) -> ConeVec:
@@ -430,20 +435,18 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
         mu = (gap + tau * kappa) / (nu + 1.0)
 
         # state-representation complementarity floor (see StepStats doc):
-        # max-diagonal products are cheap O(eps)-accurate lammax proxies
+        # the rounding bound of the computed gap, eps * sum_i |x_i z_i|
+        # (entrywise over every cone family, PSD included — the gap IS
+        # that entrywise dot), normalized like mu itself
         eps_state = float(jnp.finfo(dtype).eps)
-        mf_parts = [jnp.reshape(tau * kappa, ())]
+        mf_abs = jnp.reshape(jnp.abs(tau * kappa), ())
         if x.l.size:
-            mf_parts.append(jnp.max(x.l * z.l))
+            mf_abs = mf_abs + jnp.sum(jnp.abs(x.l * z.l))
         for xq_, zq_ in zip(x.q, z.q):
-            mf_parts.append(2.0 * jnp.max(xq_[..., 0] * zq_[..., 0]))
+            mf_abs = mf_abs + jnp.sum(jnp.abs(xq_ * zq_))
         for xs_, zs_ in zip(x.s, z.s):
-            dx_ = jnp.max(jnp.abs(jnp.diagonal(xs_, axis1=-2, axis2=-1)),
-                          axis=-1)
-            dz_ = jnp.max(jnp.abs(jnp.diagonal(zs_, axis1=-2, axis2=-1)),
-                          axis=-1)
-            mf_parts.append(xs_.shape[-1] * jnp.max(dx_ * dz_))
-        mu_floor = eps_state * jnp.max(jnp.stack(mf_parts))
+            mf_abs = mf_abs + jnp.sum(jnp.abs(xs_ * zs_))
+        mu_floor = eps_state * mf_abs / (nu + 1.0)
 
         # --- scaling + Schur (compute dtype) -------------------------------
         S = nt.compute_scaling(lo_safe(x), lo_safe(z), herm=herm_flags)
@@ -949,17 +952,18 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             # Primal/dual step-length differentiation — the EXACT 1-D
             # analysis of stepdif.m:39-175, restated for the standard HSD
             # coordinates.  The reference extends ONE of the two steps by a
-            # differential t, minimizing a local merit whose pieces change
-            # at the gap-constraint breakpoint (stepdif.m:103-116) and at
-            # the feasibility breakpoint y0 + t dy0 = 0 (:168-171); its
-            # residuals scale affinely along the direction so the
-            # minimizer is closed-form per piece.  Here the same 1-D
-            # family is searched with the residual norms kept as their
-            # EXACT quadratics (the direction defect makes them only
-            # approximately affine), the gap-constraint roots added as
-            # breakpoint candidates, and a parabolic polish on the
-            # winning piece — exact minimization of the same merit, with
-            # a strictly more accurate residual model than the affine one.
+            # differential t beyond the accepted equal step and compensates
+            # the OTHER side MULTIPLICATIVELY (wregion.m:162-168: newz =
+            # mu*zscl with mu = 1 + tdif*rdx0) — the homogeneous embedding
+            # is scale-invariant per side, so the compensated update keeps
+            # the non-extended side's RELATIVE residual exactly invariant.
+            # (Round 5's first cut stepped the two sides additively at
+            # different rates, which injects (tp-td)*c*dtau into the dual
+            # row every differentiated iteration — measured on trto3: the
+            # f64 run diverged to numerr=2 once the adaptive trigger
+            # enabled differentiation.)  The side to extend follows the
+            # reference: the one whose boundary step is larger
+            # (wregion.m:164, tp-td sign), never a free merit choice.
             dAx = dax_full[:m] - b * dtau               # d/dtp of rp
             u1 = cv_add(aop.adj_y(dy, jnp.zeros((), dtype)), dz)   # d/dtd of rd
             u2 = aop.adj(jnp.concatenate([jnp.zeros((m,), dtau.dtype),
@@ -968,11 +972,8 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             ra = jnp.vdot(rp, dAx)
             aa = jnp.vdot(dAx, dAx)
             dd = cv_dot(rd, rd)
-            d1 = cv_dot(rd, u1)
-            d2 = cv_dot(rd, u2)
-            e11 = cv_dot(u1, u1)
-            e12 = cv_dot(u1, u2)
-            e22 = cv_dot(u2, u2)
+            d1m2 = cv_dot(rd, cv_sub(u1, u2))
+            e1m2 = cv_dot(cv_sub(u1, u2), cv_sub(u1, u2))
             xz = gap_b
             xdz = cv_dot(x_b, dz)
             zdx = cv_dot(z_b, dx)
@@ -984,87 +985,82 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             gap_eq = (xz + alpha * (zdx + xdz) + alpha**2 * dxdz
                       + (tau_b + alpha * dtau) * (kappa_b + alpha * dkappa))
             gap_cap = jnp.maximum(1.25 * gap_eq, 0.0)
+            tau_a = tau_b + alpha * dtau
+            kap_a = kappa_b + alpha * dkappa
+            tk_a = tau_a * kap_a
+            # equal-step residual quadratics (compensation keeps the
+            # non-extended side's relative residual AT these values)
+            rp2_aa = jnp.maximum(rr + 2 * alpha * ra + alpha**2 * aa, 0.0)
+            rd2_aa = jnp.maximum(dd + 2 * alpha * d1m2
+                                 + alpha**2 * e1m2, 0.0)
 
-            def merit_of(TP, TD):
-                rp2 = rr + 2 * TP * ra + TP**2 * aa
-                rd2 = (dd + 2 * TD * d1 - 2 * TP * d2
-                       + TD**2 * e11 - 2 * TP * TD * e12 + TP**2 * e22)
-                gap_t = (xz + TP * zdx + TD * xdz + TP * TD * dxdz
-                         + (tau_b + TP * dtau) * (kappa_b + TD * dkappa))
-                mval = (w1 * jnp.sqrt(jnp.maximum(rp2, 0.0))
-                        + w2 * jnp.sqrt(jnp.maximum(rd2, 0.0))
-                        + gap_t) / (tau_b + TP * dtau)
-                # gap-constraint (trydif-style safeguard): outside it the
-                # piece is infeasible for the merit
-                return jnp.where(gap_t <= gap_cap, mval, jnp.inf)
+            def merit_p(TP):
+                # extend the primal pair (x, tau) to TP; (y, z, kappa)
+                # step alpha then scale by mu = tau(TP)/tau(alpha):
+                # rd_rel invariant, rp contracts at TP, gap rescales by mu
+                tau_t = tau_b + TP * dtau
+                mu_ = tau_t / tau_a
+                rp2 = jnp.maximum(rr + 2 * TP * ra + TP**2 * aa, 0.0)
+                bil = xz + TP * zdx + alpha * xdz + TP * alpha * dxdz
+                gap_t = mu_ * (bil + tk_a)
+                mval = (w1 * jnp.sqrt(rp2) / tau_t
+                        + (w2 * jnp.sqrt(rd2_aa) + bil + tk_a) / tau_a)
+                ok = (gap_t <= gap_cap) & (tau_t > 0)
+                return jnp.where(ok, mval, jnp.inf)
 
-            def piece_min(t_lo, t_hi_, other_fixed, primal_piece):
-                """Exact min over one differential piece: tp (or td) sweeps
-                [t_lo, t_hi_] while the other stays at alpha.  Dense
-                candidate scan + gap-breakpoint roots + parabolic polish."""
+            def merit_d(TD):
+                # extend the dual side (y, z, kappa) to TD; (x, tau)
+                # step alpha then scale by mu = tau(TD)/tau(alpha) — the
+                # rd row's c*tau term then moves WITH the dual rate, so
+                # rd contracts at TD and rp_rel stays invariant
+                tau_t = tau_b + TD * dtau
+                mu_ = tau_t / tau_a
+                rd2 = jnp.maximum(dd + 2 * TD * d1m2 + TD**2 * e1m2, 0.0)
+                bil = xz + alpha * zdx + TD * xdz + alpha * TD * dxdz
+                tk_t = tau_a * (kappa_b + TD * dkappa)
+                gap_t = mu_ * (bil + tk_t)
+                mval = (w2 * jnp.sqrt(rd2) / tau_t
+                        + (w1 * jnp.sqrt(rp2_aa) + bil + tk_t) / tau_a)
+                ok = (gap_t <= gap_cap) & (tau_t > 0)
+                return jnp.where(ok, mval, jnp.inf)
+
+            def piece_min(fm, t_hi_):
+                """Exact 1-D min over [alpha, t_hi_]: dense candidate scan
+                + parabolic polish (stepdif.m's breakpoint pieces are
+                smooth between gap-cap crossings; the scan brackets them
+                and the polish is exact on the winning parabola)."""
                 s = jnp.linspace(0.0, 1.0, 33, dtype=dtype)
-                tv = t_lo + s * (t_hi_ - t_lo)
-                # gap(t) along the piece is quadratic a2 t^2 + a1 t + a0;
-                # its crossings of gap_cap are breakpoints of the merit
-                if primal_piece:
-                    a2 = jnp.zeros((), dtype)
-                    a1 = zdx + alpha * dxdz + dtau * (kappa_b + alpha * dkappa)
-                    a0 = (xz + alpha * xdz
-                          + tau_b * (kappa_b + alpha * dkappa)) - gap_cap
-                else:
-                    a2 = jnp.zeros((), dtype)
-                    a1 = xdz + alpha * dxdz + dkappa * (tau_b + alpha * dtau)
-                    a0 = (xz + alpha * zdx
-                          + kappa_b * (tau_b + alpha * dtau)) - gap_cap
-                t_root = jnp.where(jnp.abs(a1) > 1e-30, -a0 / a1, t_lo)
-                t_root = jnp.clip(t_root, t_lo, t_hi_)
-                tv = jnp.concatenate([tv, t_root[None],
-                                      jnp.reshape(alpha, (1,))])
-                if primal_piece:
-                    mv = merit_of(tv, jnp.full_like(tv, other_fixed))
-                else:
-                    mv = merit_of(jnp.full_like(tv, other_fixed), tv)
+                tv = alpha + s * (t_hi_ - alpha)
+                mv = fm(tv)
                 i = jnp.argmin(mv)
-                # parabolic polish around the winning sample (exact for
-                # the locally smooth piece)
-                h = (t_hi_ - t_lo) / 32.0
-                tm, t0_, tq = tv[i] - h, tv[i], tv[i] + h
-                if primal_piece:
-                    fm = merit_of(tm, other_fixed)
-                    f0 = mv[i]
-                    fq = merit_of(tq, other_fixed)
-                else:
-                    fm = merit_of(other_fixed, tm)
-                    f0 = mv[i]
-                    fq = merit_of(other_fixed, tq)
-                denom = fm - 2.0 * f0 + fq
-                t_par = t0_ - 0.5 * h * (fq - fm) / jnp.where(
+                h = (t_hi_ - alpha) / 32.0
+                tm_, t0_, tq_ = tv[i] - h, tv[i], tv[i] + h
+                fm_, f0, fq_ = fm(tm_), mv[i], fm(tq_)
+                denom = fm_ - 2.0 * f0 + fq_
+                t_par = t0_ - 0.5 * h * (fq_ - fm_) / jnp.where(
                     jnp.abs(denom) > 1e-300, denom, 1.0)
                 t_par = jnp.where(
                     jnp.isfinite(t_par) & (denom > 0),
-                    jnp.clip(t_par, t_lo, t_hi_), t0_)
-                if primal_piece:
-                    f_par = merit_of(t_par, other_fixed)
-                else:
-                    f_par = merit_of(other_fixed, t_par)
+                    jnp.clip(t_par, alpha, t_hi_), t0_)
+                f_par = fm(t_par)
                 better = f_par < f0
                 return (jnp.where(better, t_par, t0_),
                         jnp.minimum(f_par, f0))
 
-            # piece 1: extend the primal step (td = alpha, tp in
-            # [alpha, tp_hi]); piece 2: extend the dual step
-            t1p, f1 = piece_min(alpha, jnp.maximum(tp_hi, alpha),
-                                alpha, True)
-            t2d, f2 = piece_min(alpha, jnp.maximum(td_hi, alpha),
-                                alpha, False)
-            merit_eq = merit_of(alpha, alpha)
-            use1 = f1 <= f2
+            # side selection (wregion.m:164): extend toward the FARTHER
+            # boundary; the base step alpha was capped by the nearer one
+            use1 = amax_p >= amax_d
+            t1p, f1 = piece_min(merit_p, jnp.maximum(tp_hi, alpha))
+            t2d, f2 = piece_min(merit_d, jnp.maximum(td_hi, alpha))
             best_f = jnp.where(use1, f1, f2)
-            # only differentiate on a CLEAR predicted win: the merit
-            # coefficients carry cancellation noise on badly scaled
-            # problems (inner products at ~1e12), so a marginal predicted
-            # improvement is not evidence (trydif.m's conservatism)
-            clear_win = best_f < 0.9 * merit_eq
+            merit_eq = merit_p(alpha)   # == merit_d(alpha)
+            # only differentiate on a CLEAR predicted win (trydif.m's
+            # conservatism: the merit coefficients carry cancellation
+            # noise on badly scaled problems), and only from a HEALTHY
+            # base step — with the base stalled (alpha ~ 0, solves at
+            # their conditioning wall) the local model is meaningless
+            # and one-sided extensions wander the iterate
+            clear_win = (best_f < 0.9 * merit_eq) & (alpha > 0.01)
             tp = jnp.where(clear_win & use1, t1p, alpha)
             td = jnp.where(clear_win & jnp.logical_not(use1), t2d, alpha)
             if use_wr:
@@ -1084,6 +1080,11 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
                     zs_try = jax.tree_util.tree_map(
                         lambda a, d_: a + td_l * d_, zs_b, dzs)
                     wspec = wr.prod_spectrum(xs_try, zs_try)
+                    # the compensated update scales the cone spectra AND
+                    # tau*kappa by the same mu_c (both extension cases),
+                    # and iswnbr's delta is scale-invariant — so the
+                    # additive spectra test the compensated candidate
+                    # exactly
                     wtk = lo((tau_b + tp * dtau) * (kappa_b + td * dkappa))
                     dl, _, _ = wr.iswnbr(
                         jnp.concatenate([wspec, wtk[None]]), pars.theta)
@@ -1161,9 +1162,12 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             tp_, td_, i = carry
             xc = jax.tree_util.tree_map(lambda a, d_: a + tp_ * d_, x_b, dx)
             zc = jax.tree_util.tree_map(lambda a, d_: a + td_ * d_, z_b, dz)
+            # tau must stay positive at BOTH rates: it enters the
+            # compensated update's mu_c denominator at the base rate
+            tau_c = jnp.minimum(tau_b + tp_ * dtau, tau_b + td_ * dtau)
             ok = jnp.logical_and(
-                _interior(xc, tau_b + tp_ * dtau, kappa_b + td_ * dkappa),
-                _interior(zc, tau_b + tp_ * dtau, kappa_b + td_ * dkappa))
+                _interior(xc, tau_c, kappa_b + td_ * dkappa),
+                _interior(zc, tau_c, kappa_b + td_ * dkappa))
             return jnp.logical_and(jnp.logical_not(ok), i < 12)
 
         def bt_body(carry):
@@ -1175,12 +1179,28 @@ def make_step(layout: Layout, pars: Pars, normb: float, normc: float,
             (jnp.asarray(tp, dtype), jnp.asarray(td, dtype),
              jnp.asarray(0)))
 
+        # Differentiated-step state update with homogeneous compensation
+        # (wregion.m:162-196): the extended side steps to its own length,
+        # the other side steps to the base length and is then SCALED by
+        # mu_c = tau(extended)/tau(base) — per-side positive scaling is
+        # exact in the self-dual embedding (rp and rd rescale by mu_c, so
+        # the relative residuals are invariant), where an additive
+        # two-rate update would inject (tp-td)*c*dtau into the dual row.
+        # Equal steps give mu_c = 1 and reduce to the plain update.
+        ext_p = tp >= td                      # which side was extended
+        t_ext = jnp.maximum(tp, td)
+        t_base = jnp.minimum(tp, td)
+        mu_c = (tau_b + t_ext * dtau) / (tau_b + t_base * dtau)
+        sc_z = jnp.where(ext_p, mu_c, 1.0)    # scale on the dual side
+        sc_x = jnp.where(ext_p, 1.0, mu_c)    # scale on the primal side
         new = IPMState(
-            x=jax.tree_util.tree_map(lambda a, d: a + tp * d, x_b, dx),
-            y=y + dyc + td * dy,
-            z=jax.tree_util.tree_map(lambda a, d: a + td * d, z_b, dz),
-            tau=tau_b + tp * dtau,
-            kappa=kappa_b + td * dkappa,
+            x=jax.tree_util.tree_map(lambda a, d: sc_x * (a + tp * d),
+                                     x_b, dx),
+            y=sc_z * (y + dyc + td * dy),
+            z=jax.tree_util.tree_map(lambda a, d: sc_z * (a + td * d),
+                                     z_b, dz),
+            tau=tau_b + t_ext * dtau,
+            kappa=sc_z * (kappa_b + td * dkappa),
         )
 
         alpha = jnp.minimum(tp, td)   # reported step (stall detection)

@@ -905,18 +905,18 @@ def solve_internal(
                            f"iter {it} (STOP=2, sedumi.m:533)")
                 break
         if not sd_on:
-            # adaptive differentiation trigger (sedumi.m:434-438): enable
-            # once past iteration 20, once feasratio nears 1 after
-            # iteration 5 (the superlinear optimal phase), or once tau is
-            # collapsing relative to kappa (a certificate run racing to
-            # the tau ~ 1e-12 kappa stop).  Round 5 replaced the bilinear
-            # merit GRID with the exact 1-D breakpoint analysis of
-            # stepdif.m:39-175 (ipm.py piece_min), removing the endgame
-            # destabilization that kept this trigger certificate-only.
-            fr_now = (rec["tau"] - rec["kappa"]) / max(
-                rec["tau"] + rec["kappa"], 1e-300)
-            if (it > 20 or (it > 5 and abs(1.0 - fr_now) < 0.05)
-                    or (it > 10 and rec["tau"] < 1e-3 * rec["kappa"])):
+            # adaptive differentiation trigger.  The reference enables at
+            # iter > 20 / feasratio near 1 (sedumi.m:434-438); round 5
+            # briefly adopted that with the exact 1-D stepdif analysis
+            # and measured trto3's f64 endgame REGRESS 5e-5-class even
+            # after the homogeneous compensation fix (ipm.py stepdif
+            # block; stepdif=0 reaches 9.3e-7 on the same code).  On this
+            # solver differentiation demonstrably helps certificate runs
+            # (tau collapsing against kappa: the differentiated step races
+            # the ray) and demonstrably hurts hard optimal endgames, so
+            # the DEFAULT trigger stays certificate-only; pars.stepdif=1
+            # forces it on everywhere (reference-compatible knob).
+            if it > 10 and rec["tau"] < 1e-3 * rec["kappa"]:
                 sd_on = True
         worst = max(rec["err_p"], rec["err_d"], rec["gap_rel"])
         phase_iters += 1
@@ -1003,7 +1003,12 @@ def solve_internal(
         # at the floor; the terminal refinement finishes from the best
         # iterate. --
         if (cur == phase_order[-1] and it - it0 > 3 and best_worst < 1e-3
+                and since_best >= 6
                 and rec["mu"] < 30.0 * rec.get("mu_floor", 0.0)):
+            # since_best >= 6: the floor is a diagnosis for a measured
+            # stall, never a reason to cut a still-converging run (the
+            # round-5 max-max floor model overestimated trto3's floor by
+            # 4+ orders and stopped it 50 iterations early at 4.4e-4)
             _log(pars, f"  mu {rec['mu']:.1e} at the f64 state floor "
                        f"({rec['mu_floor']:.1e}): stopping honestly")
             stop = 1 if best_worst <= pars.eps else -1
