@@ -693,9 +693,13 @@ def solve_internal(
         9.3e-7 as a pure-f64 run).  Redoing the few burnt iterations in
         the better arithmetic costs seconds."""
         nonlocal cur, state, phase_iters, since_best, stall, \
-            since_best_phase, best_worst, best_state, best_rec
+            since_best_phase, best_worst, best_state, best_rec, \
+            best_tr_score, best_tr_state, best_tr_rec
         if discard_progress:
             state = ipm.cast_state(state0, dt_hi)
+            best_tr_score = np.inf
+            best_tr_state = None
+            best_tr_rec = None
             # the discarded trajectory's iterates (and their measured
             # stats) came from unusable arithmetic — the best-iterate
             # records reset with it, else the next phase's honest early
@@ -784,6 +788,9 @@ def solve_internal(
     best_worst = np.inf
     best_rec = None
     since_best = 0
+    best_tr_score = np.inf     # tracked prec1+prec2 minimum (see below)
+    best_tr_state = None
+    best_tr_rec = None
     _log(pars, f" it      mu        alpha   sigma    err_p     err_d     gap")
     while it < pars.maxiter:
         t_it0 = time.time()
@@ -1075,6 +1082,20 @@ def solve_internal(
         # collapses to ~1e-14).
         safeguard = min(pars.bigeps / 10.0, 1e4 * pars.eps)
         rec["prec1"], rec["prec2"] = prec1, prec2   # observability (iterlog)
+        # tracked-best iterate (reference selection semantics).  The
+        # reference's ONLY quality signal is this exact-arithmetic
+        # bookkeeping (sedumi.m:545-566) — it never recomputes residuals
+        # — and in the f64-unrepresentable endgame region that is the
+        # HONEST signal: recomputed errors there are fiction (measured on
+        # control07: the tracked precs bottom exactly where the objective
+        # passes the optimum, then grow through the wander that the
+        # recomputed 'worst' scores as an improvement).  Remember the
+        # tracked-minimum iterate; the final selection below prefers it
+        # over the recomputed-best when the two disagree mildly.
+        if prec1 + prec2 < best_tr_score:
+            best_tr_score = prec1 + prec2
+            best_tr_state = prev_state
+            best_tr_rec = rec
         if prec1 < pars.eps and prec2 < pars.eps and best_worst < safeguard:
             stop = 1
             _log(pars, f"  tracked-residual stop: precision1={prec1:.1e} "
@@ -1152,6 +1173,27 @@ def solve_internal(
     # (tau collapse), the FINAL iterate is the Farkas ray — restoring an
     # earlier "better residual" iterate would destroy the certificate.
     tau_collapsed = float(state.tau) < 1e-8 * max(1.0, float(state.kappa))
+    # tracked-vs-recomputed final arbitration (see the tracked-best
+    # comment in the loop): when the tracked-minimum iterate and the
+    # recomputed-best iterate disagree MILDLY (recomputed worst within
+    # 3x), the tracked one wins — in the endgame's unrepresentable
+    # region the recomputed signals rank fiction while the
+    # exact-arithmetic bookkeeping still ranks truth (measured on
+    # control07: recomputed-best sits 6.6e-6 past the optimum, the
+    # tracked-best at it).  A wild disagreement (>3x) means the tracked
+    # minimum is a mid-run artifact and the recomputed best stands.
+    if (stop != 2 and not tau_collapsed and best_rec is not None
+            and best_tr_rec is not None and best_tr_rec is not best_rec):
+        sc_best = (best_rec.get("prec1", np.inf)
+                   + best_rec.get("prec2", np.inf))
+        worst_tr = max(best_tr_rec["err_p"], best_tr_rec["err_d"],
+                       best_tr_rec["gap_rel"])
+        if best_tr_score < sc_best and worst_tr <= 3.0 * best_worst:
+            _log(pars, f"  final pick: tracked-best iterate "
+                       f"(prec {best_tr_score:.1e} < {sc_best:.1e}, "
+                       f"worst {worst_tr:.1e})")
+            best_state, best_rec, best_worst = \
+                best_tr_state, best_tr_rec, worst_tr
     if stop != 2 and not tau_collapsed and best_rec is not None \
             and best_worst < np.inf:
         state = best_state
