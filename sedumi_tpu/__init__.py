@@ -46,8 +46,29 @@ if not os.environ.get("SEDUMI_TPU_NO_COMPILE_CACHE"):
     # Host CPUs are weak relative to the device; persist XLA compilations.
     import jax
 
+    # Key the cache by the host CPU model: XLA:CPU persists AOT results
+    # with the COMPILING machine's feature set and will load them on a
+    # different host (logging "could lead to execution errors such as
+    # SIGILL") — observed as SIGABRT/SIGSEGV mid-suite when a cache
+    # written on an AMX-capable build host was reused on a smaller VM.
+    def _cpu_tag() -> str:
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("model name"):
+                        import hashlib
+
+                        return hashlib.sha1(
+                            line.encode()).hexdigest()[:8]
+        except OSError:
+            pass
+        import platform
+
+        return platform.machine()
+
     _cache_dir = os.environ.get(
-        "SEDUMI_TPU_CACHE_DIR", os.path.expanduser("~/.cache/sedumi_tpu_xla")
+        "SEDUMI_TPU_CACHE_DIR",
+        os.path.expanduser(f"~/.cache/sedumi_tpu_xla_{_cpu_tag()}"),
     )
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -600,14 +600,23 @@ def conic_refine(At, b, c, layout: Layout, x, y,
     # b'y EXCEEDS that feasible primal's c'x violates weak duality and is
     # certifiably infeasible, however small its graded dinf. ---
     ptol = 1e-9 * (1.0 + maxb)
+    # refinement is a PROJECTION, not an optimizer: it may not claim more
+    # objective progress than the incoming iterate's own apparent duality
+    # gap (plus tolerance).  A candidate below that floor is reporting
+    # the feasibility tolerance as objective gain (measured on control07:
+    # a pinf-eligible candidate 4e-6 BELOW the optimum won the pick).
+    cx_in = _ld_dot(c, x)
+    by_in = _ld_dot(b, y)
+    floor_cx = cx_in - abs(cx_in - by_in) - 1e-7 * (1.0 + abs(cx_in))
     elig_p = []
     for pname, xc in x_cands:
         pinf_n = float(np.linalg.norm(
             np.asarray(b.astype(_LD) - _ld_A_x(At, xc), np.float64)))
         xviol = max(0.0, -_cone_min_eig(layout, xc))
+        cx_c = _ld_dot(c, xc)
         if pinf_n <= ptol and xviol <= 1e-9 * max(
-                _cone_scale(layout, xc), 1.0):
-            elig_p.append((_ld_dot(c, xc), pname, xc))
+                _cone_scale(layout, xc), 1.0) and cx_c >= floor_cx:
+            elig_p.append((cx_c, pname, xc))
     if elig_p:
         cx_b, pname_b, x_b = min(elig_p, key=lambda t: t[0])
         gap_tol = 1e-7 * (1.0 + abs(cx_b))

@@ -551,6 +551,27 @@ def solve_internal(
         rd_i = float(np.max(np.abs(rd_v))) if rd_v.size else 0.0
         return rp_i, rd_i
 
+    def _arbitrate() -> None:
+        """Prefer the tracked-minimum iterate over the recomputed-best
+        when they disagree mildly (see the tracked-best comment in the
+        loop).  Mutates the best_* records in place; called at endgame
+        plateaus (before refine-early blesses an iterate) and at the
+        final fallback selection."""
+        nonlocal best_state, best_rec, best_worst
+        if best_rec is None or best_worst == np.inf \
+                or best_tr_rec is None or best_tr_rec is best_rec:
+            return
+        sc_best = (best_rec.get("prec1", np.inf)
+                   + best_rec.get("prec2", np.inf))
+        worst_tr = max(best_tr_rec["err_p"], best_tr_rec["err_d"],
+                       best_tr_rec["gap_rel"])
+        if best_tr_score < sc_best and worst_tr <= 3.0 * best_worst:
+            _log(pars, f"  final pick: tracked-best iterate "
+                       f"(prec {best_tr_score:.1e} < {sc_best:.1e}, "
+                       f"worst {worst_tr:.1e})")
+            best_state, best_rec, best_worst = \
+                best_tr_state, best_tr_rec, worst_tr
+
     def _refine_early(st) -> float:
         """Measured r0 of the best terminal-refinement candidate from an
         iterate (original internal units), or inf.  Host-side, runs ONCE
@@ -613,7 +634,13 @@ def solve_internal(
             cost += float(mp1) * mp1 * bkt.count * bkt.dim * bkt.dim
         return cost * 11.0
 
+    # dd64 is host-resident (pure_callback linear algebra); under a
+    # multi-device mesh the callback executes per-shard on worker threads
+    # and aborts the process (observed SIGABRT in test_panels' end-to-end
+    # solve on the 8-virtual-device CPU mesh) — the mesh ladder tops out
+    # at host64 instead.
     dd64_possible = (engine_kind == "dense" and host64_possible
+                     and _mesh is None
                      and m <= 1200 and _dd_form_cost() < 2.5e11)
     if dd64_possible and mode != "f32":
         phase_order = phase_order + ["dd64"]
@@ -1123,6 +1150,9 @@ def solve_internal(
             # gap-rounding floor (measured on control07: 21 dd64
             # iterations, 264 s, zero grade improvement over what this
             # probe returns in ~5 s)
+            # arbitrate FIRST: the probe must bless the tracked-best
+            # iterate, not a recomputed-best that may rank fiction
+            _arbitrate()
             if pars.refine and _refine_early(best_state) <= pars.eps:
                 state = best_state
                 stop = 1
@@ -1182,18 +1212,13 @@ def solve_internal(
     # control07: recomputed-best sits 6.6e-6 past the optimum, the
     # tracked-best at it).  A wild disagreement (>3x) means the tracked
     # minimum is a mid-run artifact and the recomputed best stands.
-    if (stop != 2 and not tau_collapsed and best_rec is not None
-            and best_tr_rec is not None and best_tr_rec is not best_rec):
-        sc_best = (best_rec.get("prec1", np.inf)
-                   + best_rec.get("prec2", np.inf))
-        worst_tr = max(best_tr_rec["err_p"], best_tr_rec["err_d"],
-                       best_tr_rec["gap_rel"])
-        if best_tr_score < sc_best and worst_tr <= 3.0 * best_worst:
-            _log(pars, f"  final pick: tracked-best iterate "
-                       f"(prec {best_tr_score:.1e} < {sc_best:.1e}, "
-                       f"worst {worst_tr:.1e})")
-            best_state, best_rec, best_worst = \
-                best_tr_state, best_tr_rec, worst_tr
+    # stop==1 (eps-converged or verified finite termination) already names
+    # its iterate — post-loop arbitration only applies to the endgame
+    # fallback paths (plateau/stall/floor), where the recomputed ranking
+    # is the suspect signal; the plateau's refine-early path arbitrates
+    # BEFORE blessing its iterate instead.
+    if stop not in (1, 2) and not tau_collapsed and not optstep_hit:
+        _arbitrate()
     if stop != 2 and not tau_collapsed and best_rec is not None \
             and best_worst < np.inf:
         state = best_state

@@ -29,17 +29,34 @@ def main() -> int:
     extra = sys.argv[1:]
     failures: list[str] = []
     t0 = time.time()
-    for f in files:
+    # two shards in flight (subprocesses are fully isolated; the host's
+    # vCPUs overlap one shard's compile phases with another's BLAS work —
+    # measured 1772 s serial -> well under half overlapped).  Longest
+    # files first so the tail isn't one straggler.
+    order = {"test_sparse_engine.py": 0, "test_pars_live.py": 1,
+             "test_examples.py": 2, "test_panels.py": 3,
+             "test_parallel.py": 4, "test_hybrid.py": 5}
+    files.sort(key=lambda p: order.get(p.name, 99))
+    import concurrent.futures as cf
+
+    def run_one(f):
         t1 = time.time()
         proc = subprocess.run(
             [sys.executable, "-m", "pytest", str(f), "-q", *extra],
-            cwd=str(here.parent),
+            cwd=str(here.parent), capture_output=True, text=True,
         )
-        status = "ok" if proc.returncode == 0 else f"FAIL rc={proc.returncode}"
-        print(f"[run_suite] {f.name}: {status} ({time.time() - t1:.1f}s)",
-              flush=True)
-        if proc.returncode not in (0, 5):     # 5 = no tests collected
-            failures.append(f.name)
+        return f, proc, time.time() - t1
+
+    workers = int(__import__("os").environ.get("RUN_SUITE_JOBS", "2"))
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        for f, proc, dt in ex.map(run_one, files):
+            status = ("ok" if proc.returncode == 0
+                      else f"FAIL rc={proc.returncode}")
+            print(f"[run_suite] {f.name}: {status} ({dt:.1f}s)", flush=True)
+            if proc.returncode not in (0, 5):  # 5 = no tests collected
+                failures.append(f.name)
+                sys.stdout.write(proc.stdout[-4000:])
+                sys.stderr.write(proc.stderr[-2000:])
     print(f"[run_suite] total {time.time() - t0:.1f}s; "
           f"{len(files) - len(failures)}/{len(files)} files green")
     if failures:
