@@ -1,6 +1,6 @@
 """sedumi_tpu — a TPU-native symmetric-cone interior-point solver.
 
-A brand-new JAX/XLA/Pallas framework with the full capability surface of
+A brand-new JAX/XLA framework with the full capability surface of
 SeDuMi 1.3.7 (MATLAB + C-MEX): linear,
 second-order-cone (incl. rotated) and semidefinite programming (real and
 complex-Hermitian) over products of symmetric cones, solved with a

@@ -1008,8 +1008,21 @@ def solve_internal(
                 # within its stall budget — while its step costs minutes
                 # of compile (control07: entered at worst 1.8, escalated
                 # 5 iterations later, twice).  Go straight to host64 then.
+                # a far-from-converged f32 iterate (worst > 1e-2 after
+                # the phase budget) is a failed warmup.  On problems
+                # whose endgame is representation-limited (the
+                # dd64-admitted class: control07's dual slack spans 6e18
+                # — see BENCH_local_r05.md) the terminal accuracy is
+                # decided by how well-CENTERED the trajectory is when it
+                # hits the f64 wall, and a host64 phase that inherits
+                # the off-center f32 point approaches the optimum
+                # measurably worse than one following the central path
+                # from the start (measured: rel 1.399e-6 FAIL carrying
+                # it vs 9.86e-7 pass from scratch).  Discard and restart.
                 if _escalate(f"f32 floor at iter {it}, worst={worst:.1e}",
-                             skip_hybrid=(worst > 1e-2)):
+                             skip_hybrid=(worst > 1e-2),
+                             discard_progress=(worst > 1e-2
+                                               and dd64_possible)):
                     since_best = 0
         elif cur == "hybrid" and (since_best >= 4 or phase_iters >= 40) \
                 and best_worst > pars.eps:
@@ -1138,7 +1151,13 @@ def solve_internal(
         # 9.0e-7 with patience 6 and the in-bench variance once produced
         # 2.96e-6 under identical code; 12 -> 18 in round 4 after a 9.4e-7
         # TPU margin). --
-        if cur != "f32" and since_best >= 18 and best_worst < 1e-5:
+        # plateau patience: 18 for the host f64 endgame (micro-improvement
+        # ratchets, see below); 8 in dd64, whose iterations cost ~12 s
+        # each and whose non-improving tail is the wander region by
+        # definition (improving iterations reset the counter, so a
+        # productive dd64 run — arch0 — is never cut)
+        _patience = 8 if cur == "dd64" else 18
+        if cur != "f32" and since_best >= _patience and best_worst < 1e-5:
             if best_worst <= pars.eps:
                 stop = 1
                 break
